@@ -1,0 +1,80 @@
+"""Fused render step: sample -> gather corners -> trilinear interp -> SDF MLP.
+
+Equivalent of the reference ``render_rays`` chain (/root/reference/src/
+variations/render_helpers.py:190-318: ray_intersect -> ray_sample ->
+get_features -> decoder forward) but as ONE jit-fused graph with static
+shapes: no hit-mask host round trips, no CPU embedding-id gather
+(render_helpers.py:88), no chunking (XLA tiles the MLP matmuls itself).
+
+Output contract mirrors render_rays' return dict: z_vals (MAX_DEPTH where
+invalid), sdf (1.0 where invalid — the reference's ``masked_scatter_ones``
+at render_helpers.py:301), ray_mask, valid_mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfloam_tpu.core.losses import MAX_DEPTH
+from nerfloam_tpu.map import voxel_map as vm
+from nerfloam_tpu.models.decoder import decoder_apply
+from nerfloam_tpu.ops.interp import interp_corner_features
+from nerfloam_tpu.ops.raycast import RaycastConfig, sample_along_rays
+
+
+class RenderOutput(NamedTuple):
+    z_vals: jnp.ndarray      # (R, M)
+    sdf: jnp.ndarray         # (R, M)
+    ray_mask: jnp.ndarray    # (R,)
+    valid_mask: jnp.ndarray  # (R, M)
+    sampled_xyz: jnp.ndarray  # (R, M, 3) world positions (eikonal support)
+
+
+def field_at(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    decoder_params,
+    xyz: jnp.ndarray,
+    lattice_id: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """SDF at world points (..., 3) inside known surface voxels (...,).
+
+    The feature path of get_features/get_embeddings (render_helpers.py:62-93)
+    without the CPU remap table: lattice id -> 8 corner rows -> embeddings ->
+    trilinear -> MLP.
+    """
+    safe = jnp.clip(lattice_id, 0)
+    cidx = state.corner_idx[safe]                      # (..., 8)
+    embs = state.embeddings[jnp.clip(cidx, 0)]         # (..., 8, F)
+    center = (state.lat_coords[safe].astype(jnp.float32) + 0.5) * map_cfg.voxel_size
+    feats = interp_corner_features(xyz, center, embs, map_cfg.voxel_size)
+    return decoder_apply(decoder_params, feats, compute_dtype)[..., 0]
+
+
+def render_rays(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    rc: RaycastConfig,
+    decoder_params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_cap: jnp.ndarray,
+    ray_valid: jnp.ndarray,
+    key: jax.Array,
+    compute_dtype=jnp.float32,
+) -> RenderOutput:
+    z, lid, valid, ray_mask = sample_along_rays(
+        state, map_cfg, rc, rays_o, rays_d, t_cap, key
+    )
+    ray_mask = ray_mask & ray_valid
+    valid = valid & ray_valid[:, None]
+
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    sdf = field_at(state, map_cfg, decoder_params, xyz, lid, compute_dtype)
+    sdf = jnp.where(valid, sdf, 1.0)
+    z_out = jnp.where(valid, z, MAX_DEPTH)
+    return RenderOutput(z_out, sdf, ray_mask, valid, xyz)

@@ -1,0 +1,259 @@
+"""Device-resident sparse voxel map: unified lattice table + dense local grid.
+
+This is the TPU-native replacement for the reference's pointer-based C++
+octree (/root/reference/third_party/sparse_octree/src/octree.cpp) plus its
+per-node embedding remap table (src/mapping.py:76, 293-339). Rationale:
+
+  The reference allocates an octree node per lattice point: a directly
+  observed voxel is a SURFACE leaf and its 7 other corner octants are
+  FEATURE leaves, promoted to SURFACE when directly hit later
+  (octree.cpp:68-109). Embedding rows are allocated per corner octant.
+  Everything downstream consumes two flat products: per-surface-voxel
+  corner indices (N,8) and voxel centers (mapping.py:319-339).
+
+  We keep exactly those semantics but flatten the structure: one row per
+  lattice point (= octree corner octant), where the row id IS the embedding
+  row. ``is_surface`` marks directly-observed voxels (SURFACE vs FEATURE),
+  ``corner_idx`` stores each surface voxel's 8 corner lattice ids
+  (corner_idx[v, 0] == v, like the reference where corner 0 is the voxel's
+  own octant). There are no pointers and no tree: spatial lookup goes
+  through a dense *region-local* grid (cell -> lattice id) rebuilt around
+  the sensor each frame by one scatter — every map operation is a
+  fixed-shape gather/scatter, which is what the TPU memory system wants.
+
+All functions are pure: they take and return a ``MapState`` pytree and are
+jit-compatible with ``MapConfig`` passed statically. Capacity growth is
+host-driven (see :func:`grow`): insert saturates safely at capacity, the
+host detects it and re-runs the insert on a larger map.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfloam_tpu.ops import keys as K
+from nerfloam_tpu.ops.interp import CORNER_OFFSETS
+
+
+class MapConfig(NamedTuple):
+    """Static (hashable) map parameters."""
+
+    capacity: int          # max lattice points (= max embedding rows)
+    grid_dim: tuple        # (Dx, Dy, Dz) region grid cells
+    voxel_size: float
+    feat_dim: int = 16
+    emb_dtype: str = "float32"  # "float32" | "bfloat16"
+
+
+class MapState(NamedTuple):
+    """Device pytree holding the entire map."""
+
+    lat_coords: jnp.ndarray  # (C, 3) int32 global lattice coords per row
+    is_surface: jnp.ndarray  # (C,) bool — directly observed voxel
+    corner_idx: jnp.ndarray  # (C, 8) int32 corner lattice ids (surface rows)
+    embeddings: jnp.ndarray  # (C, F) learned corner embeddings (zero-init,
+    #                          matching mapping.py:305-307)
+    num_lat: jnp.ndarray     # () int32 allocated rows
+    grid: jnp.ndarray        # (Dx*Dy*Dz,) int32 cell -> lattice id | -1
+    region_min: jnp.ndarray  # (3,) int32 lattice coord of grid cell (0,0,0)
+
+
+def create(cfg: MapConfig) -> MapState:
+    C = cfg.capacity
+    Dx, Dy, Dz = cfg.grid_dim
+    return MapState(
+        lat_coords=jnp.zeros((C, 3), jnp.int32),
+        is_surface=jnp.zeros((C,), jnp.bool_),
+        corner_idx=jnp.full((C, 8), -1, jnp.int32),
+        embeddings=jnp.zeros((C, cfg.feat_dim), getattr(jnp, cfg.emb_dtype)),
+        num_lat=jnp.zeros((), jnp.int32),
+        grid=jnp.full((Dx * Dy * Dz,), -1, jnp.int32),
+        region_min=jnp.zeros((3,), jnp.int32),
+    )
+
+
+def _flat_cell(rel: jnp.ndarray, grid_dim: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 3) region-relative cells -> flat index + in-bounds mask."""
+    Dx, Dy, Dz = grid_dim
+    inb = (
+        (rel[..., 0] >= 0) & (rel[..., 0] < Dx)
+        & (rel[..., 1] >= 0) & (rel[..., 1] < Dy)
+        & (rel[..., 2] >= 0) & (rel[..., 2] < Dz)
+    )
+    flat = (rel[..., 0] * Dy + rel[..., 1]) * Dz + rel[..., 2]
+    return flat, inb
+
+
+def lookup(state: MapState, cfg: MapConfig, coords: jnp.ndarray) -> jnp.ndarray:
+    """Lattice ids for integer lattice coords (..., 3); -1 if absent/outside."""
+    rel = coords - state.region_min
+    flat, inb = _flat_cell(rel, cfg.grid_dim)
+    total = int(np.prod(cfg.grid_dim))
+    safe = jnp.clip(flat, 0, total - 1)
+    lid = state.grid[safe]
+    return jnp.where(inb, lid, -1)
+
+
+def recenter(state: MapState, cfg: MapConfig, center_world: jnp.ndarray) -> MapState:
+    """Rebuild the dense grid around a new world-space center.
+
+    One pass over the lattice table: every allocated row whose coords fall
+    in the new region is scattered into the fresh grid. Replaces octree
+    traversal with a single fixed-shape scatter.
+    """
+    Dx, Dy, Dz = cfg.grid_dim
+    total = Dx * Dy * Dz
+    dims = jnp.array([Dx, Dy, Dz], jnp.int32)
+    region_min = (
+        jnp.floor(center_world / cfg.voxel_size).astype(jnp.int32) - dims // 2
+    )
+    C = cfg.capacity
+    ids = jnp.arange(C, dtype=jnp.int32)
+    rel = state.lat_coords - region_min
+    flat, inb = _flat_cell(rel, cfg.grid_dim)
+    ok = inb & (ids < state.num_lat)
+    dest = jnp.where(ok, flat, total)  # out-of-range -> dropped
+    grid = jnp.full((total,), -1, jnp.int32).at[dest].set(ids, mode="drop")
+    return state._replace(grid=grid, region_min=region_min)
+
+
+def insert_points(
+    state: MapState, cfg: MapConfig, points_world: jnp.ndarray, valid: jnp.ndarray
+) -> MapState:
+    """Allocate voxels (and their corner lattice points) at observed points.
+
+    Semantics match Octree::insert (octree.cpp:51-111): each observed voxel
+    becomes SURFACE; its 8 corner lattice points are allocated (FEATURE) if
+    absent; an existing FEATURE point directly observed is promoted to
+    SURFACE. Points must lie inside the current region (callers recenter
+    first); out-of-region points are dropped for this frame.
+
+    Overflow safety: if capacity is exhausted, new rows are dropped and
+    affected voxels are NOT activated (their corner set would be
+    incomplete); ``num_lat`` still reports the needed size so the host can
+    :func:`grow` the map and re-run the insert.
+    """
+    P = points_world.shape[0]
+    C = cfg.capacity
+    total = int(np.prod(cfg.grid_dim))
+
+    vox = jnp.floor(points_world / cfg.voxel_size).astype(jnp.int32)  # (P,3)
+
+    # -- dedup observed voxels (sort by packed key, keep first occurrence) --
+    hi, lo = K.pack(vox)
+    hi = jnp.where(valid, hi, K.INVALID_HI)
+    lo = jnp.where(valid, lo, K.INVALID_LO)
+    order = K.lexsort_keys(hi, lo)
+    s_hi, s_lo = hi[order], lo[order]
+    s_vox = vox[order]
+    s_valid = valid[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+
+    lid0 = lookup(state, cfg, s_vox)
+    already_surface = (lid0 >= 0) & state.is_surface[jnp.clip(lid0, 0)]
+    rel = s_vox - state.region_min
+    _, vox_inb = _flat_cell(rel, cfg.grid_dim)
+    cand = first & s_valid & vox_inb & ~already_surface  # (P,)
+
+    # -- allocate missing corner lattice points ----------------------------
+    offsets = jnp.asarray(CORNER_OFFSETS)  # (8, 3)
+    corners = s_vox[:, None, :] + offsets[None]  # (P, 8, 3)
+    chi, clo = K.pack(corners)
+    chi = jnp.where(cand[:, None], chi, K.INVALID_HI).reshape(-1)
+    clo = jnp.where(cand[:, None], clo, K.INVALID_LO).reshape(-1)
+    cflat = corners.reshape(-1, 3)  # (8P, 3)
+
+    corder = K.lexsort_keys(chi, clo)
+    cs_hi, cs_lo = chi[corder], clo[corder]
+    cs_coords = cflat[corder]
+    cfirst = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (cs_hi[1:] != cs_hi[:-1]) | (cs_lo[1:] != cs_lo[:-1]),
+        ]
+    )
+    cvalid = cs_hi != K.INVALID_HI
+
+    c_lid = lookup(state, cfg, cs_coords)
+    c_rel = cs_coords - state.region_min
+    c_flatidx, c_inb = _flat_cell(c_rel, cfg.grid_dim)
+    cnew = cfirst & cvalid & c_inb & (c_lid < 0)
+
+    ranks = jnp.cumsum(cnew.astype(jnp.int32)) - 1
+    new_ids = state.num_lat + ranks  # valid where cnew
+    fits = new_ids < C
+
+    lat_coords = state.lat_coords.at[
+        jnp.where(cnew & fits, new_ids, C)
+    ].set(cs_coords, mode="drop")
+    grid = state.grid.at[
+        jnp.where(cnew & fits, c_flatidx, total)
+    ].set(jnp.where(fits, new_ids, -1), mode="drop")
+    num_lat = state.num_lat + jnp.sum(cnew, dtype=jnp.int32)
+
+    state = state._replace(lat_coords=lat_coords, grid=grid, num_lat=num_lat)
+
+    # -- activate surface voxels with complete corner sets -----------------
+    c_lid2 = lookup(state, cfg, corners)  # (P, 8) against the updated grid
+    complete = jnp.all(c_lid2 >= 0, axis=-1)
+    vox_id = c_lid2[:, 0]  # corner 0 == the voxel's own lattice point
+    act = cand & complete
+    dest = jnp.where(act, vox_id, C)
+    is_surface = state.is_surface.at[dest].set(True, mode="drop")
+    corner_idx = state.corner_idx.at[dest].set(c_lid2, mode="drop")
+    return state._replace(is_surface=is_surface, corner_idx=corner_idx)
+
+
+def grow(state: MapState, cfg: MapConfig, new_capacity: int) -> tuple[MapState, MapConfig]:
+    """Host-side capacity growth: copy rows into larger arrays (grid reused)."""
+    new_cfg = cfg._replace(capacity=new_capacity)
+    C = cfg.capacity
+    bigger = create(new_cfg)
+    bigger = bigger._replace(
+        lat_coords=bigger.lat_coords.at[:C].set(state.lat_coords),
+        is_surface=bigger.is_surface.at[:C].set(state.is_surface),
+        corner_idx=bigger.corner_idx.at[:C].set(state.corner_idx),
+        embeddings=bigger.embeddings.at[:C].set(state.embeddings),
+        num_lat=jnp.minimum(state.num_lat, C),
+        grid=state.grid,
+        region_min=state.region_min,
+    )
+    return bigger, new_cfg
+
+
+def overflowed(state: MapState, cfg: MapConfig) -> bool:
+    """Host check: did the last insert need more rows than capacity?"""
+    return int(state.num_lat) > cfg.capacity
+
+
+def voxel_centers(state: MapState, cfg: MapConfig) -> jnp.ndarray:
+    """World centers of ALL lattice rows: (coords + 0.5) * voxel_size.
+
+    Matches (voxels[:, :3] + side/2) * voxel_size with side = 1 for leaves
+    (mapping.py:322).
+    """
+    return (state.lat_coords.astype(jnp.float32) + 0.5) * cfg.voxel_size
+
+
+def surface_snapshot(state: MapState) -> dict:
+    """Host export of surface voxels for meshing/diagnostics (dynamic shapes
+    allowed — host side only)."""
+    surf = np.array(state.is_surface)  # copy — jax buffers are read-only
+    n = int(state.num_lat)
+    surf[n:] = False
+    idx = np.nonzero(surf)[0]
+    return {
+        "voxel_ids": idx,
+        "coords": np.asarray(state.lat_coords)[idx],
+        "corner_idx": np.asarray(state.corner_idx)[idx],
+        "num_lat": n,
+    }

@@ -1,0 +1,122 @@
+"""Lattice-key packing and Morton (Z-order) codec.
+
+TPU-native replacement for the reference octree's Morton math
+(/root/reference/third_party/sparse_octree/include/utils.h:64-109). The
+reference interleaves 21-bit x/y/z into a single uint64 key used for octree
+child walking; we keep the same 21-bit-per-axis key space but avoid int64
+(TPUs emulate it) by packing into a pair of int32 words. Keys are used only
+for deduplication (sort/unique) at insert time — the hot path queries a
+dense region-local grid instead (see nerfloam_tpu.map.voxel_map).
+
+Coordinates are signed lattice integers; ``COORD_OFFSET`` re-centers them to
+[0, 2^21). This replaces the reference's "+2000 m pose offset" hack
+(src/lidarFrame.py:18) — poses in this framework stay in the true world
+frame.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+COORD_BITS = 21
+COORD_OFFSET = 1 << (COORD_BITS - 1)  # 2^20: signed coords -> non-negative
+COORD_MASK = (1 << COORD_BITS) - 1
+
+# Sentinel packed key (sorts after every valid key when compared as
+# (hi, lo) with hi most significant; hi of valid keys is < 2^31 - 1).
+INVALID_HI = jnp.int32(0x7FFFFFFF)
+INVALID_LO = jnp.int32(0x7FFFFFFF)
+
+
+def pack(coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack signed integer lattice coords (..., 3) into (hi, lo) int32 words.
+
+    hi = x[20:0] << 10 | y[20:11]   (31 bits, always >= 0)
+    lo = y[10:0] << 21 | z[20:0]    (32 bits; sign bit may be set — equality
+                                     comparisons are still exact)
+    """
+    c = coords.astype(jnp.int32) + COORD_OFFSET
+    x, y, z = c[..., 0], c[..., 1], c[..., 2]
+    hi = (x << 10) | (y >> 11)
+    lo = ((y & 0x7FF) << 21) | z
+    return hi, lo
+
+
+def unpack(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack`; returns signed lattice coords (..., 3)."""
+    hi = hi.astype(jnp.int32)
+    lo = lo.astype(jnp.int32)
+    x = (hi >> 10) & COORD_MASK
+    y = (((hi & 0x3FF) << 11) | ((lo >> 21) & 0x7FF)) & COORD_MASK
+    z = lo & COORD_MASK
+    xyz = jnp.stack([x, y, z], axis=-1)
+    return xyz - COORD_OFFSET
+
+
+def _part1by2_21(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Spread the low 21 bits of ``v`` so each lands 3 positions apart.
+
+    Returns (hi, lo) halves of the 63-bit spread word: bit i of v maps to
+    global bit 3*i; ``lo`` holds global bits [0,32), ``hi`` holds [32,63).
+    Pure int32 bit math (no int64 on TPU).
+    """
+    v = v.astype(jnp.int32) & COORD_MASK
+    lo = jnp.zeros_like(v)
+    hi = jnp.zeros_like(v)
+    for i in range(COORD_BITS):
+        bit = (v >> i) & 1
+        g = 3 * i
+        if g < 32:
+            lo = lo | (bit << g)
+        else:
+            hi = hi | (bit << (g - 32))
+    return hi, lo
+
+
+def morton_encode(coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Z-order interleave of signed coords (..., 3) -> (hi, lo) int32 pair.
+
+    Matches the bit layout of the reference's ``compute_morton`` / ``expand``
+    (sparse_octree/include/utils.h): x occupies bits 3i+2, y bits 3i+1,
+    z bits 3i.
+    """
+    c = coords.astype(jnp.int32) + COORD_OFFSET
+    xh, xl = _part1by2_21(c[..., 0])
+    yh, yl = _part1by2_21(c[..., 1])
+    zh, zl = _part1by2_21(c[..., 2])
+
+    def shl64(hi, lo, s):  # (hi, lo) << s for s in {1, 2}
+        return (hi << s) | ((lo >> (32 - s)) & ((1 << s) - 1)), lo << s
+
+    xh, xl = shl64(xh, xl, 2)
+    yh, yl = shl64(yh, yl, 1)
+    return xh | yh | zh, xl | yl | zl
+
+
+def morton_decode(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`morton_encode`."""
+    hi = hi.astype(jnp.int32)
+    lo = lo.astype(jnp.int32)
+    out = []
+    for axis_shift in (2, 1, 0):  # x, y, z
+        v = jnp.zeros_like(hi)
+        for i in range(COORD_BITS):
+            g = 3 * i + axis_shift
+            bit = ((lo >> g) & 1) if g < 32 else ((hi >> (g - 32)) & 1)
+            v = v | (bit << i)
+        out.append(v - COORD_OFFSET)
+    return jnp.stack(out, axis=-1)
+
+
+def lexsort_keys(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Return a permutation sorting (hi, lo) pairs into a total order.
+
+    Radix-style double stable argsort (lo pass then hi pass). The order is
+    lexicographic on (hi, signed lo) — any total order works for duplicate
+    grouping, which is the only property insert/dedup relies on. Equal keys
+    end up adjacent; the INVALID sentinel (hi = lo = int32 max) sorts last.
+    """
+    order1 = jnp.argsort(lo, stable=True)
+    hi1 = jnp.take(hi, order1)
+    order2 = jnp.argsort(hi1, stable=True)
+    return jnp.take(order1, order2)

@@ -1,0 +1,133 @@
+"""Differentiable SE(3) pose parameterization.
+
+Equivalent of the reference's ``OptimizablePose`` (/root/reference/src/
+se3pose.py:8-92) but in closed form instead of 10-term Taylor series. The
+parameterization is the same 6-vector ``[t (3), w (3)]`` where ``t`` is the
+raw translation (NOT the se(3) exp-coupled translation) and ``R = exp([w]x)``
+via Rodrigues. Gradients flow through both; the small-angle regime uses
+series expansions selected with ``jnp.where`` on the *inputs* so gradients
+stay finite at theta = 0 (the reference used a global Taylor series for the
+same reason; ours is exact outside the switch point).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_SMALL = 1e-8  # theta^2 switch point for series branches
+
+
+def skew(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix [w]x for w (..., 3) -> (..., 3, 3)."""
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+    O = jnp.zeros_like(w0)
+    return jnp.stack(
+        [
+            jnp.stack([O, -w2, w1], axis=-1),
+            jnp.stack([w2, O, -w0], axis=-1),
+            jnp.stack([-w1, w0, O], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _sinc_coeffs(theta2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """A = sin(t)/t and B = (1-cos(t))/t^2 with grad-safe small-angle branch."""
+    small = theta2 < _SMALL
+    # Clamp the value fed to sqrt so the non-taken branch stays finite and
+    # differentiable (standard safe-where pattern).
+    safe_t2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(safe_t2)
+    a_exact = jnp.sin(theta) / theta
+    b_exact = (1.0 - jnp.cos(theta)) / safe_t2
+    a_series = 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0
+    b_series = 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0
+    return jnp.where(small, a_series, a_exact), jnp.where(small, b_series, b_exact)
+
+
+def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: exp([w]x) for w (..., 3) -> rotation matrices (..., 3, 3)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    A, B = _sinc_coeffs(theta2)
+    wx = skew(w)
+    wx2 = wx @ wx
+    I = jnp.eye(3, dtype=w.dtype)
+    return I + A[..., None, None] * wx + B[..., None, None] * wx2
+
+
+def log_so3(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Matrix log: rotation (..., 3, 3) -> axis-angle (..., 3).
+
+    Mirrors the reference's ``OptimizablePose.log`` (se3pose.py:38-45):
+    theta from the trace (clamped away from ±1), w from the skew part
+    scaled by 1/(2 sinc(theta)). Not valid at theta = pi (same limitation
+    as the reference; LiDAR frame-to-frame rotations are far from pi).
+    """
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + eps, 1.0 - eps)
+    theta = jnp.arccos(cos_t)
+    A, _ = _sinc_coeffs(theta * theta)
+    skew_part = 0.5 * (R - jnp.swapaxes(R, -1, -2)) / (A[..., None, None] + 1e-12)
+    w0 = skew_part[..., 2, 1]
+    w1 = skew_part[..., 0, 2]
+    w2 = skew_part[..., 1, 0]
+    return jnp.stack([w0, w1, w2], axis=-1)
+
+
+# --- pose6 = [tx, ty, tz, wx, wy, wz] ------------------------------------
+
+
+def pose_rotation(p6: jnp.ndarray) -> jnp.ndarray:
+    return exp_so3(p6[..., 3:6])
+
+
+def pose_translation(p6: jnp.ndarray) -> jnp.ndarray:
+    return p6[..., 0:3]
+
+
+def pose_matrix(p6: jnp.ndarray) -> jnp.ndarray:
+    """pose6 (..., 6) -> homogeneous transform (..., 4, 4)."""
+    R = pose_rotation(p6)
+    t = pose_translation(p6)
+    batch = p6.shape[:-1]
+    T = jnp.zeros(batch + (4, 4), dtype=p6.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def pose_from_matrix(T: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous transform (..., 4, 4) -> pose6 (..., 6)."""
+    w = log_so3(T[..., :3, :3])
+    t = T[..., :3, 3]
+    return jnp.concatenate([t, w], axis=-1)
+
+
+def transform_points(p6: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply pose to points: R @ p + t. pts (..., N, 3) with pose6 (..., 6)."""
+    R = pose_rotation(p6)
+    t = pose_translation(p6)
+    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def rotate_dirs(p6: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate direction vectors by the pose rotation (no translation)."""
+    R = pose_rotation(p6)
+    return dirs @ jnp.swapaxes(R, -1, -2)
+
+
+def compose_matrices(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    return A @ B
+
+
+def invert_matrix(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a rigid transform."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    out = jnp.zeros_like(T)
+    out = out.at[..., :3, :3].set(Rt)
+    out = out.at[..., :3, 3].set(-(Rt @ t[..., None])[..., 0])
+    out = out.at[..., 3, 3].set(1.0)
+    return out

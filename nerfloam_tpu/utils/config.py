@@ -1,0 +1,185 @@
+"""YAML configuration with recursive ``base_config`` inheritance.
+
+Behavior-compatible with the reference's ArgumentParserX (/root/reference/
+demo/parser.py:4-62): a config YAML may name a ``base_config`` whose values
+it recursively overrides; every loaded key is exposed as a CLI flag
+(--key value, with nested groups addressable as --group.key). Adds the
+TPU-framework's own knobs (static capacities, sample budgets, device opts)
+with derived defaults so the reference's unmodified YAML files work as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import math
+import os
+from typing import Any, Dict
+
+import yaml
+
+
+def update_recursive(dict1: Dict, dict2: Dict) -> Dict:
+    """dict2 wins; nested dicts merge (parser.py:49-56 semantics)."""
+    for k, v in dict2.items():
+        if isinstance(v, dict):
+            node = dict1.setdefault(k, {})
+            if isinstance(node, dict):
+                update_recursive(node, v)
+            else:
+                dict1[k] = v
+        else:
+            dict1[k] = v
+    return dict1
+
+
+def load_yaml_with_bases(path: str) -> Dict:
+    with open(path, "r") as f:
+        cfg = yaml.safe_load(f) or {}
+    base = cfg.get("base_config")
+    if base is not None:
+        # base paths are repo-relative like the reference's configs/
+        candidates = [base, os.path.join(os.path.dirname(path), os.path.basename(base))]
+        root = os.path.dirname(os.path.dirname(os.path.abspath(path)))
+        candidates.append(os.path.join(root, os.path.basename(base)))
+        for c in candidates:
+            if os.path.exists(c):
+                base_cfg = load_yaml_with_bases(c)
+                cfg = update_recursive(base_cfg, cfg)
+                break
+        else:
+            raise FileNotFoundError(f"base_config {base!r} not found")
+    return cfg
+
+
+class Config:
+    """Attribute/namespace view over the merged config dict."""
+
+    def __init__(self, d: Dict[str, Any]):
+        self._d = d
+
+    def __getattr__(self, k):
+        d = object.__getattribute__(self, "_d")
+        if k in d:
+            v = d[k]
+            return v
+        raise AttributeError(k)
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+    def as_dict(self) -> Dict:
+        return copy.deepcopy(self._d)
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def __repr__(self):
+        return f"Config({self._d})"
+
+
+DEFAULTS = {
+    # groups the reference configs always carry
+    "criteria": {},
+    "decoder_specs": {},
+    "tracker_specs": {},
+    "mapper_specs": {},
+    "data_specs": {},
+    "debug_args": {},
+    # TPU-framework additions (all optional)
+    "tpu_specs": {
+        "points_pad": 131072,        # static per-frame point-buffer size
+        "kf_points_pad": 65536,      # static keyframe point-buffer size
+        "map_capacity": 1 << 19,     # initial lattice rows (grows by re-jit)
+        "track_samples": 128,        # per-ray sample budget (tracking)
+        "map_samples": 64,           # per-ray sample budget (mapping BA)
+        "region_z_half": 20.0,       # vertical half-extent of the local grid (m)
+        "region_margin": 4.0,        # lateral slack (m)
+        "bootstrap_steps": 20,       # first-frame mapping calls (replaces the
+                                     # reference's timing-dependent bootstrap
+                                     # spin, mapping.py:106-108)
+        "compute_dtype": "float32",  # MLP matmul dtype ("bfloat16" on TPU)
+        "emb_dtype": "float32",      # embedding storage (ref uses bfloat16)
+        "mesh_backend": "mt",        # "mt" (device marching tetrahedra)
+        "seed": 777,
+    },
+}
+
+
+def finalize(cfg: Dict) -> Config:
+    merged = copy.deepcopy(DEFAULTS)
+    update_recursive(merged, cfg)
+    return Config(merged)
+
+
+def derive_static_shapes(cfg: Config) -> Dict[str, Any]:
+    """Compute the static-shape parameters the jitted programs need."""
+    vs = cfg.mapper_specs["voxel_size"]
+    max_depth = float(cfg.data_specs["max_depth"])
+    key_distance = float(cfg.mapper_specs.get("key_distance", 12.0))
+    keyframe_gap = float(cfg.mapper_specs.get("keyframe_gap", 8.0))
+    window = int(cfg.mapper_specs["window_size"])
+    margin = float(cfg.tpu_specs["region_margin"])
+    # region must cover the tracked frame's full-range ball and every window
+    # keyframe's (cropped) ball — see map/voxel_map.py docstring
+    half_xy = max(max_depth, window * keyframe_gap + key_distance * 1.8) + margin
+    half_z = float(cfg.tpu_specs["region_z_half"])
+    Dxy = 2 * math.ceil(half_xy / vs)
+    Dz = 2 * math.ceil(half_z / vs)
+
+    track_step = float(cfg.tracker_specs["step_size"]) * vs
+    map_step = float(cfg.mapper_specs["step_size"]) * vs
+    return {
+        "grid_dim": (Dxy, Dxy, Dz),
+        "track_step_world": track_step,
+        "map_step_world": map_step,
+        "track_n_slots": math.ceil(max_depth / track_step) + 1,
+        "map_n_slots": math.ceil(max_depth / map_step) + 1,
+        "max_depth": max_depth,
+        "voxel_size": vs,
+    }
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="nerfloam_tpu — TPU-native neural-SDF LiDAR SLAM"
+    )
+    p.add_argument("config", type=str, help="YAML config (supports base_config)")
+    p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="group.key=value",
+        help="override any config value, e.g. --set tracker_specs.num_iterations=10",
+    )
+    return p
+
+
+def _parse_value(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    return s
+
+
+def load_config(path: str, overrides: list[str] | None = None) -> Config:
+    cfg = load_yaml_with_bases(path)
+    merged = finalize(cfg)
+    d = merged.as_dict()
+    for ov in overrides or []:
+        key, _, val = ov.partition("=")
+        node = d
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = _parse_value(val)
+    return Config(d)
