@@ -1,0 +1,52 @@
+"""CLI entry point: python demo/run.py <config.yaml> [--set group.key=val].
+
+Behavior-compatible with /root/reference/demo/run.py: loads a YAML config
+(with base_config inheritance), seeds RNGs, runs the full SLAM pipeline,
+writes trajectory + meshes into a timestamped run directory.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+from nerfloam_tpu.core.pipeline import NerfLoamSLAM
+from nerfloam_tpu.data import get_dataset
+from nerfloam_tpu.utils.config import build_arg_parser, load_config
+from nerfloam_tpu.utils.logger import RunLogger
+from nerfloam_tpu.utils.profiler import Profiler
+
+
+def main():
+    args = build_arg_parser().parse_args()
+    cfg = load_config(args.config, args.set)
+    np.random.seed(int(cfg.tpu_specs["seed"]))
+
+    dataset = get_dataset(cfg)
+    logger = RunLogger(
+        cfg.get("log_dir", "./logs"),
+        cfg.get("exp_name", "run"),
+        config=cfg.as_dict(),
+    )
+    prof = Profiler(verbose=bool(cfg.debug_args.get("verbose", False)))
+    slam = NerfLoamSLAM(cfg, dataset, logger=logger, profiler=prof)
+
+    if args.resume:
+        from nerfloam_tpu.utils.checkpoint import load_checkpoint
+
+        load_checkpoint(args.resume, slam)
+        print(f"resumed from {args.resume} at frame {slam.state.frames_processed}")
+
+    poses = slam.run()
+    prof.report()
+
+    from nerfloam_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(logger.dir, "ckpt", "final"), slam)
+    print(f"done: {len(poses)} poses -> {logger.dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Windowed bundle adjustment: joint embeddings + decoder + keyframe poses.
+
+Equivalent of the reference's bundle_adjust_frames (/root/reference/src/
+variations/render_helpers.py:321-425) as one jitted program: the whole
+iteration loop (ray resampling per keyframe, world-frame ray assembly,
+render, loss, Adam step over three parameter groups) runs in a single
+lax.fori_loop dispatch.
+
+Parameter-group semantics match the reference:
+  - embeddings at lr[0], decoder at lr[1] (only while update_decoder — the
+    freeze_frame logic, mapping.py:196), keyframe poses at lr[2] with the
+    anchor keyframe frozen (render_helpers.py:347);
+  - a FRESH Adam state per call (the reference constructs a new
+    torch.optim.Adam inside every bundle_adjust_frames call);
+  - frozen groups are implemented by zeroing their gradients before Adam —
+    with fresh per-call state this is exactly equivalent to excluding the
+    group from the optimizer.
+
+Static window: the frame axis has ``n_frames`` slots; when fewer keyframes
+exist, inactive slots are masked out of sampling, loss, and updates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerfloam_tpu.core.losses import sdf_losses
+from nerfloam_tpu.core.render import render_rays
+from nerfloam_tpu.core.tracking import t_cap_for
+from nerfloam_tpu.map.voxel_map import MapConfig, MapState
+from nerfloam_tpu.ops import se3
+from nerfloam_tpu.ops.raycast import RaycastConfig
+from nerfloam_tpu.ops.sampling import sample_ray_indices
+
+
+class BAParams(NamedTuple):
+    """Static BA parameters."""
+
+    n_frames: int        # window_size + 1 (tracked frame slot)
+    n_rays: int          # rays per frame per iteration
+    num_iterations: int
+    truncation: float
+    max_depth: float
+    fs_weight: float
+    sdf_weight: float
+    compute_dtype: str = "float32"
+
+
+class BAResult(NamedTuple):
+    embeddings: jnp.ndarray
+    decoder_params: object
+    poses: jnp.ndarray   # (W, 6)
+    loss: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))
+def ba_step(
+    map_state: MapState,
+    map_cfg: MapConfig,
+    rc: RaycastConfig,
+    bp: BAParams,
+    decoder_params,
+    decoder_meta,
+    poses: jnp.ndarray,         # (W, 6)
+    points: jnp.ndarray,        # (W, P, 3) sensor-frame (padded)
+    points_cos: jnp.ndarray,    # (W, P)
+    points_valid: jnp.ndarray,  # (W, P) bool
+    frame_active: jnp.ndarray,  # (W,) bool
+    pose_free: jnp.ndarray,     # (W,) bool — optimize this frame's pose
+    update_decoder: jnp.ndarray,  # () bool
+    lrs: jnp.ndarray,           # (3,) [emb, decoder, pose]
+    key: jax.Array,
+) -> BAResult:
+    compute_dtype = jnp.dtype(bp.compute_dtype)
+    W = bp.n_frames
+    opt = optax.scale_by_adam()
+
+    emb0 = map_state.embeddings
+    opt_state0 = opt.init((emb0, decoder_params, poses))
+
+    def loss_fn(opt_params, ridx, rvalid, k):
+        emb, dec, pos = opt_params
+        state = map_state._replace(embeddings=emb)
+        pts = jnp.take_along_axis(points, ridx[..., None], axis=1)  # (W,N,3)
+        pcos = jnp.take_along_axis(points_cos, ridx, axis=1)        # (W,N)
+        dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+        wdirs = jax.vmap(se3.rotate_dirs)(pos, dirs)                # (W,N,3)
+        origins = jnp.broadcast_to(
+            se3.pose_translation(pos)[:, None, :], wdirs.shape
+        )
+        N = bp.n_rays
+        flat = lambda x: x.reshape((W * N,) + x.shape[2:])
+        t_cap = t_cap_for(flat(pts), flat(pcos), bp.truncation, bp.max_depth)
+        out = render_rays(
+            state, map_cfg, rc, dec, decoder_meta,
+            flat(origins), flat(wdirs), t_cap, flat(rvalid), k, compute_dtype,
+        )
+        loss, _ = sdf_losses(
+            out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
+            flat(pts), flat(pcos), bp.truncation, bp.max_depth,
+            bp.fs_weight, bp.sdf_weight,
+        )
+        return loss
+
+    def body(i, carry):
+        emb, dec, pos, opt_state, key, _ = carry
+        key, k_s, k_r = jax.random.split(key, 3)
+        ridx, rvalid = jax.vmap(
+            lambda k, v: sample_ray_indices(k, v, bp.n_rays)
+        )(jax.random.split(k_s, W), points_valid)
+        rvalid = rvalid & frame_active[:, None]
+
+        loss, grads = jax.value_and_grad(loss_fn)((emb, dec, pos), ridx, rvalid, k_r)
+        g_emb, g_dec, g_pos = grads
+        # group freezing (see module docstring)
+        g_dec = jax.tree.map(
+            lambda g: g * update_decoder.astype(g.dtype), g_dec
+        )
+        pose_mask = (pose_free & frame_active).astype(g_pos.dtype)[:, None]
+        g_pos = g_pos * pose_mask
+
+        updates, opt_state = opt.update((g_emb, g_dec, g_pos), opt_state)
+        u_emb, u_dec, u_pos = updates
+        emb = emb - lrs[0] * u_emb
+        dec = jax.tree.map(lambda p, u: p - lrs[1] * u, dec, u_dec)
+        pos = pos - lrs[2] * u_pos * pose_mask
+        return emb, dec, pos, opt_state, key, loss
+
+    init = (emb0, decoder_params, poses, opt_state0, key, jnp.zeros((), jnp.float32))
+    emb, dec, pos, _, _, loss = jax.lax.fori_loop(0, bp.num_iterations, body, init)
+    return BAResult(emb, dec, pos, loss)

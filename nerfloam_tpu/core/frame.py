@@ -1,0 +1,108 @@
+"""Host-side frame containers with static-shape padding.
+
+Equivalent of the reference LidarFrame (/root/reference/src/lidarFrame.py)
+minus the torch Module machinery and the +2000 m pose offset (lidarFrame.py:
+17-18) — poses here live in the true world frame; lattice keys handle
+negative coordinates natively (ops/keys.py).
+
+Frames pad their point buffers to a static size so every jitted program
+compiles once. Keyframes are box-cropped copies (mapping.py:266-280).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from nerfloam_tpu.ops import se3
+import jax.numpy as jnp
+
+
+def pose6_from_matrix_np(T: np.ndarray) -> np.ndarray:
+    return np.asarray(se3.pose_from_matrix(jnp.asarray(T, jnp.float32)))
+
+
+def matrix_from_pose6_np(p6: np.ndarray) -> np.ndarray:
+    return np.asarray(se3.pose_matrix(jnp.asarray(p6, jnp.float32)))
+
+
+@dataclass
+class Frame:
+    index: int
+    points: np.ndarray       # (P, 3) float32, zero-padded
+    points_cos: np.ndarray   # (P,) float32
+    valid: np.ndarray        # (P,) bool
+    n_points: int
+    pose6: np.ndarray        # (6,) float32 world pose [t, w]
+    rel_pose: np.ndarray | None = None  # (4,4) tracker's frame-to-frame motion
+    has_gt_pose: bool = False
+    hit_ratio: float = 0.0
+
+    @classmethod
+    def from_raw(
+        cls,
+        index: int,
+        points: np.ndarray,
+        cos: np.ndarray,
+        pose: np.ndarray | None,
+        pad: int,
+        has_gt_pose: bool = False,
+    ) -> "Frame":
+        n = min(len(points), pad)
+        if len(points) > pad:  # keep a uniform subset if the scan overflows
+            sel = np.random.default_rng(index).choice(len(points), pad, replace=False)
+            points, cos = points[sel], cos[sel]
+            n = pad
+        P = np.zeros((pad, 3), np.float32)
+        C = np.ones((pad,), np.float32)
+        V = np.zeros((pad,), bool)
+        P[:n] = points[:n]
+        C[:n] = cos[:n]
+        V[:n] = True
+        pose6 = (
+            pose6_from_matrix_np(pose)
+            if pose is not None
+            else np.zeros(6, np.float32)
+        )
+        return cls(index, P, C, V, n, pose6.astype(np.float32), has_gt_pose=has_gt_pose)
+
+    def pose_matrix(self) -> np.ndarray:
+        return matrix_from_pose6_np(self.pose6)
+
+    def cropped(self, key_distance: float, pad: int) -> "Frame":
+        """Keyframe crop: |x|,|y|,|z| < key_distance + 0.01 in the sensor
+        frame (mapping.py:269-276)."""
+        vd = key_distance + 0.01
+        m = self.valid & np.all(np.abs(self.points) < vd, axis=-1)
+        pts = self.points[m]
+        cos = self.points_cos[m]
+        f = Frame.from_raw(self.index, pts, cos, None, pad)
+        f.pose6 = self.pose6.copy()
+        f.has_gt_pose = self.has_gt_pose
+        return f
+
+    def without_back_points(self, key_distance: float) -> "Frame":
+        """remove_back_points (mapping.py:235-255): drop far points opposite
+        the motion direction (cos(angle to -motion_xy) >= 0.7 beyond
+        key_distance)."""
+        if self.rel_pose is None:
+            rel_xy = np.array([1.0, 0.0])
+        else:
+            rel_xy = np.array([self.rel_pose[0, 3], self.rel_pose[1, 3]])
+        pts_xy = self.points[:, :2]
+        norm = np.linalg.norm(pts_xy, axis=-1) * (np.linalg.norm(rel_xy) + 1e-12)
+        cos_back = np.sum(-pts_xy * rel_xy, axis=-1) / np.maximum(norm, 1e-12)
+        dist = np.linalg.norm(self.points, axis=-1)
+        remove = (cos_back >= 0.7) & (dist > key_distance)
+        f = Frame(
+            self.index,
+            self.points.copy(),
+            self.points_cos.copy(),
+            self.valid & ~remove,
+            int((self.valid & ~remove).sum()),
+            self.pose6.copy(),
+            self.rel_pose,
+            self.has_gt_pose,
+        )
+        return f

@@ -1,0 +1,471 @@
+"""Single-process SLAM orchestration: tracking ∥ mapping as one device program.
+
+Replaces the reference's two-process architecture (/root/reference/src/
+nerfloam.py + src/share.py + src/tracking.py:spin + src/mapping.py:spin):
+the manager-hosted pickled ShareData, the maxsize-1 frame queue, and the
+20-second startup sleep all disappear — tracker and mapper are two jitted
+programs sharing device-resident arrays, interleaved deterministically:
+
+  frame 0: create_voxels -> insert_keyframe -> ``bootstrap_steps`` mapping
+           calls (the reference spins do_mapping until the tracker wakes,
+           mapping.py:100-108 — wall-clock-dependent; ours is a fixed count)
+  frame k: track (constant-velocity init) -> do_mapping on the tracked frame
+           (selection_method='current', the reference default) ->
+           create_voxels -> keyframe-gap check -> trajectory bookkeeping ->
+           periodic mesh/pose dumps with optional final_iter random replay.
+
+Keyframe semantics mirror mapping.py exactly: keyframes are box-cropped
+copies inserted at ``keyframe_gap`` travel distance; their poses are fixed
+after insertion (the reference only optimizes the tracked frame's pose —
+random-replay passes update_pose=False); the graph is reset to the current
+keyframe after each mesh-interval replay (mapping.py:145-147).
+
+One deliberate deviation: final_iter random windows are *spatially
+clustered* (a uniformly random anchor keyframe plus its nearest neighbors)
+instead of uniform random subsets, because the dense region grid covers a
+local neighborhood; anchors are uniform over keyframes, so replay still
+sweeps the whole map.
+"""
+
+from __future__ import annotations
+
+import math
+import random as pyrandom
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfloam_tpu.core import ba as ba_mod
+from nerfloam_tpu.core import tracking as tr_mod
+from nerfloam_tpu.core.frame import Frame, matrix_from_pose6_np
+from nerfloam_tpu.map import mesher
+from nerfloam_tpu.map import voxel_map as vm
+from nerfloam_tpu.models.decoder import init_decoder
+from nerfloam_tpu.ops.raycast import RaycastConfig
+from nerfloam_tpu.utils.config import Config, derive_static_shapes
+from nerfloam_tpu.utils.profiler import Profiler
+
+
+@dataclass
+class SlamState:
+    """Everything the pipeline owns (checkpointable)."""
+
+    map_state: vm.MapState
+    map_cfg: vm.MapConfig
+    decoder_params: object
+    decoder_meta: object
+    keyframes: list = field(default_factory=list)
+    current_keyframe: Frame | None = None
+    frame_poses: list = field(default_factory=list)   # (kf_idx, rel 4x4)
+    final_poses: list = field(default_factory=list)   # accumulated 4x4
+    last_frame: Frame | None = None                   # tracker state
+    rel_pose: np.ndarray | None = None                # tracker state
+    first_frame_id: int = 0
+    frames_processed: int = 0
+
+
+class NerfLoamSLAM:
+    def __init__(self, cfg: Config, dataset, logger=None, profiler=None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.logger = logger
+        self.prof = profiler or Profiler(verbose=bool(cfg.debug_args.get("verbose", False)))
+        shapes = derive_static_shapes(cfg)
+        self.shapes = shapes
+
+        tpu = cfg.tpu_specs
+        self.points_pad = int(tpu["points_pad"])
+        self.kf_points_pad = int(tpu["kf_points_pad"])
+        self.compute_dtype = tpu["compute_dtype"]
+
+        self.map_cfg = vm.MapConfig(
+            capacity=int(tpu["map_capacity"]),
+            grid_dim=shapes["grid_dim"],
+            voxel_size=shapes["voxel_size"],
+            feat_dim=int(cfg.decoder_specs["in_dim"]),
+            emb_dtype=tpu["emb_dtype"],
+        )
+
+        self.rc_track = RaycastConfig(
+            step_world=shapes["track_step_world"],
+            n_slots=shapes["track_n_slots"],
+            n_samples=int(tpu["track_samples"]),
+            voxel_size=shapes["voxel_size"],
+            max_depth=shapes["max_depth"],
+        )
+        self.rc_map = RaycastConfig(
+            step_world=shapes["map_step_world"],
+            n_slots=shapes["map_n_slots"],
+            n_samples=int(tpu["map_samples"]),
+            voxel_size=shapes["voxel_size"],
+            max_depth=shapes["max_depth"],
+        )
+
+        tspec, mspec, crit = cfg.tracker_specs, cfg.mapper_specs, cfg.criteria
+        base_tp = dict(
+            n_rays=int(tspec["N_rays"]),
+            truncation=float(crit["sdf_truncation"]),
+            max_depth=shapes["max_depth"],
+            fs_weight=float(crit["fs_weight"]),
+            sdf_weight=float(crit["sdf_weight"]),
+            compute_dtype=self.compute_dtype,
+        )
+        n_iter = int(tspec["num_iterations"])
+        self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)
+        self.tp_first = tr_mod.TrackParams(num_iterations=n_iter * 5, **base_tp)
+        self.track_lr = float(tspec["learning_rate"])
+
+        base_bp = dict(
+            truncation=float(crit["sdf_truncation"]),
+            max_depth=shapes["max_depth"],
+            fs_weight=float(crit["fs_weight"]),
+            sdf_weight=float(crit["sdf_weight"]),
+            compute_dtype=self.compute_dtype,
+        )
+        self.bp_current = ba_mod.BAParams(
+            n_frames=1,
+            n_rays=int(mspec["N_rays_each"]),
+            num_iterations=int(mspec["num_iterations"]),
+            **base_bp,
+        )
+        self.window_size = int(mspec["window_size"])
+        self.bp_random = ba_mod.BAParams(
+            n_frames=self.window_size,
+            n_rays=int(mspec["N_rays_each"]) * 2,  # mapping.py:187
+            num_iterations=int(mspec["num_iterations"]),
+            **base_bp,
+        )
+        self.ba_lrs = np.asarray(
+            [
+                float(mspec["learning_rate_emb"]),
+                float(mspec["learning_rate_decorder"]),
+                float(mspec["learning_rate_pose"]),
+            ],
+            np.float32,
+        )
+        self.freeze_frame = int(mspec["freeze_frame"])
+        self.keyframe_gap = float(mspec["keyframe_gap"])
+        self.key_distance = float(mspec["key_distance"])
+        self.remove_back = bool(mspec.get("remove_back", False))
+        self.final_iter = bool(mspec.get("final_iter", False))
+        self.mesh_res = int(mspec.get("mesh_res", 2))
+        self.mesh_freq = int(cfg.debug_args.get("mesh_freq", -1))
+        self.bootstrap_steps = int(cfg.tpu_specs["bootstrap_steps"])
+
+        self.key = jax.random.key(int(cfg.tpu_specs["seed"]))
+        self.pyrng = pyrandom.Random(int(cfg.tpu_specs["seed"]))
+
+        dec_params, dec_meta = init_decoder(
+            self._next_key(),
+            depth=int(cfg.decoder_specs["depth"]),
+            width=int(cfg.decoder_specs["width"]),
+            in_dim=int(cfg.decoder_specs["in_dim"]),
+            skips=tuple(cfg.decoder_specs.get("skips", []) or []),
+            embedder=cfg.decoder_specs.get("embedder", "none"),
+            multires=int(cfg.decoder_specs.get("multires", 0)),
+        )
+        self.state = SlamState(
+            map_state=vm.create(self.map_cfg),
+            map_cfg=self.map_cfg,
+            decoder_params=dec_params,
+            decoder_meta=dec_meta,
+        )
+
+    # ------------------------------------------------------------------ util
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _pad_for_ba(self, frames: list[Frame], n_frames: int, pad: int):
+        """Stack frames into static (W, P, ...) buffers."""
+        W = n_frames
+        P = pad
+        pts = np.zeros((W, P, 3), np.float32)
+        cos = np.ones((W, P), np.float32)
+        val = np.zeros((W, P), bool)
+        poses = np.zeros((W, 6), np.float32)
+        active = np.zeros((W,), bool)
+        for i, f in enumerate(frames[:W]):
+            n = min(f.points.shape[0], P)
+            pts[i, :n] = f.points[:n]
+            cos[i, :n] = f.points_cos[:n]
+            val[i, :n] = f.valid[:n]
+            poses[i] = f.pose6
+            active[i] = True
+        return pts, cos, val, poses, active
+
+    # ----------------------------------------------------------------- mapper
+
+    def _recenter(self, center_world: np.ndarray):
+        self.state.map_state = vm.recenter(
+            self.state.map_state, self.map_cfg, jnp.asarray(center_world, jnp.float32)
+        )
+
+    def create_voxels(self, frame: Frame):
+        """World-transform + insert, with capacity-growth retry
+        (mapping.py:283-291 + the dynamic embedding growth it triggers)."""
+        T = frame.pose_matrix()
+        world = frame.points @ T[:3, :3].T + T[:3, 3]
+        pts = jnp.asarray(world, jnp.float32)
+        val = jnp.asarray(frame.valid)
+        while True:
+            new_state = vm.insert_points(self.state.map_state, self.map_cfg, pts, val)
+            if not vm.overflowed(new_state, self.map_cfg):
+                self.state.map_state = new_state
+                break
+            # grow x2 and retry (static capacity tier jump => re-jit)
+            new_cap = self.map_cfg.capacity * 2
+            print(f"[map] capacity exhausted; growing to {new_cap}")
+            self.state.map_state, self.map_cfg = vm.grow(
+                new_state, self.map_cfg, new_cap
+            )
+            self.state.map_cfg = self.map_cfg
+
+    def insert_keyframe(self, frame: Frame):
+        kf = frame.cropped(self.key_distance, self.kf_points_pad)
+        if kf.n_points < 2 * self.bp_current.n_rays:
+            raise ValueError("valid_distance too small")  # mapping.py:277-278
+        self.state.current_keyframe = kf
+        self.state.keyframes.append(kf)
+
+    def do_mapping(self, tracked_frame: Frame | None, update_pose=True,
+                   update_decoder=True, selection_method="current"):
+        st = self.state
+        if selection_method == "current":
+            assert tracked_frame is not None
+            targets = [tracked_frame]
+            bp = self.bp_current
+            pad = self.points_pad
+        elif selection_method == "random":
+            targets = self._select_random_window()
+            bp = self.bp_random
+            pad = self.kf_points_pad
+            if not targets:
+                return
+        else:
+            raise NotImplementedError(selection_method)
+
+        pts, cos, val, poses, active = self._pad_for_ba(targets, bp.n_frames, pad)
+        pose_free = np.array(
+            [update_pose and f.index != st.first_frame_id for f in targets]
+            + [False] * (bp.n_frames - len(targets))
+        )
+        res = ba_mod.ba_step(
+            st.map_state, self.map_cfg, self.rc_map, bp,
+            st.decoder_params, st.decoder_meta,
+            jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(cos),
+            jnp.asarray(val), jnp.asarray(active), jnp.asarray(pose_free),
+            jnp.asarray(bool(update_decoder)),
+            jnp.asarray(self.ba_lrs), self._next_key(),
+        )
+        st.map_state = st.map_state._replace(embeddings=res.embeddings)
+        st.decoder_params = res.decoder_params
+        new_poses = np.asarray(res.poses)
+        for i, f in enumerate(targets):
+            if pose_free[i]:
+                f.pose6 = new_poses[i]
+        return float(res.loss)
+
+    def _select_random_window(self) -> list[Frame]:
+        kfs = self.state.keyframes
+        if not kfs:
+            return []
+        w = self.window_size
+        if len(kfs) <= w:
+            return kfs[:]
+        anchor = self.pyrng.randrange(len(kfs))
+        a_t = kfs[anchor].pose6[:3]
+        order = sorted(
+            range(len(kfs)), key=lambda i: float(np.linalg.norm(kfs[i].pose6[:3] - a_t))
+        )
+        return [kfs[i] for i in order[:w]]
+
+    # ---------------------------------------------------------------- tracker
+
+    def track(self, frame: Frame) -> Frame:
+        st = self.state
+        last = st.last_frame
+        last_T = last.pose_matrix()
+        const_T = last_T.copy()
+        if st.rel_pose is not None:
+            const_T[:3, 3] = (last_T @ st.rel_pose)[:3, 3]  # tracking.py:113
+        init6 = last.pose6.copy()
+        init6[:3] = const_T[:3, 3]
+
+        first = st.rel_pose is None
+        tp = self.tp_first if first else self.tp
+        # render_helpers.py:448-450 lr schedule
+        n_tracked = st.frames_processed
+        lr = self.track_lr * 2 if n_tracked < 2 else self.track_lr / 3
+
+        res = tr_mod.track_frame(
+            st.map_state, self.map_cfg, self.rc_track, tp,
+            st.decoder_params, st.decoder_meta,
+            jnp.asarray(init6), jnp.asarray(frame.points),
+            jnp.asarray(frame.points_cos), jnp.asarray(frame.valid),
+            jnp.asarray(lr, jnp.float32), self._next_key(),
+        )
+        hit_count = int(res.hit_count)
+        if hit_count == 0:  # miss fallback (tracking.py:136-137)
+            from nerfloam_tpu.core.frame import pose6_from_matrix_np
+            frame.pose6 = pose6_from_matrix_np(const_T)
+        else:
+            frame.pose6 = np.asarray(res.pose)
+            frame.hit_ratio = hit_count / tp.n_rays
+        st.rel_pose = np.linalg.inv(last.pose_matrix()) @ frame.pose_matrix()
+        frame.rel_pose = st.rel_pose
+        st.last_frame = frame
+        return frame
+
+    # --------------------------------------------------------------- pipeline
+
+    def process_first_frame(self, frame: Frame):
+        st = self.state
+        st.first_frame_id = frame.index
+        st.last_frame = frame
+        self._recenter(frame.pose6[:3])
+        self.create_voxels(frame)
+        self.insert_keyframe(frame)
+        mapper_frame = self._mapper_copy(frame)
+        for _ in range(self.bootstrap_steps):
+            self.do_mapping(mapper_frame, selection_method="current")
+        self._record_trajectory(mapper_frame)
+        st.frames_processed += 1
+
+    def _mapper_copy(self, frame: Frame) -> Frame:
+        """The reference pickles frames across the process boundary; the
+        mapper's pose refinements never reach the tracker. Keep that
+        isolation with an explicit copy."""
+        return Frame(
+            frame.index, frame.points, frame.points_cos, frame.valid,
+            frame.n_points, frame.pose6.copy(), frame.rel_pose,
+            frame.has_gt_pose, frame.hit_ratio,
+        )
+
+    def _record_trajectory(self, mapped_frame: Frame):
+        st = self.state
+        ref = st.current_keyframe
+        rel = np.linalg.inv(ref.pose_matrix()) @ mapped_frame.pose_matrix()
+        st.frame_poses.append((len(st.keyframes) - 1, rel))
+
+    def process_frame(self, frame: Frame):
+        """One tracked frame through the full tracker->mapper interleave."""
+        st = self.state
+        with self.prof.section("track"):
+            if frame.has_gt_pose:
+                st.last_frame = frame
+            else:
+                frame = self.track(frame)
+
+        mapper_frame = self._mapper_copy(frame)
+        if self.remove_back:
+            mapper_frame = mapper_frame.without_back_points(self.key_distance)
+
+        with self.prof.section("recenter"):
+            self._recenter(mapper_frame.pose6[:3])
+        with self.prof.section("do_mapping"):
+            update_decoder = (
+                mapper_frame.index - st.first_frame_id
+            ) < self.freeze_frame
+            self.do_mapping(mapper_frame, update_pose=True,
+                            update_decoder=update_decoder)
+        with self.prof.section("create_voxels"):
+            self.create_voxels(mapper_frame)
+
+        gap = np.linalg.norm(
+            mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]
+        )
+        if gap > self.keyframe_gap:
+            self.insert_keyframe(mapper_frame)
+
+        self._record_trajectory(mapper_frame)
+
+        if self.mesh_freq > 0 and frame.index % self.mesh_freq == 0:
+            self._mesh_interval(mapper_frame)
+        st.frames_processed += 1
+
+    def _replay(self, n_calls: int):
+        for _ in range(n_calls):
+            kfs = self.state.keyframes
+            if kfs:
+                self._recenter(kfs[self.pyrng.randrange(len(kfs))].pose6[:3])
+            self.do_mapping(None, update_pose=False, update_decoder=False,
+                            selection_method="random")
+
+    def _mesh_interval(self, frame: Frame):
+        st = self.state
+        did_replay = False
+        if self.final_iter and len(st.keyframes) > 20:
+            self._replay(len(st.keyframes) + 1)
+            did_replay = True
+        if self.logger is not None:
+            v, f = self.extract_mesh()
+            self.logger.log_mesh(v, f, name=f"mesh_{frame.index:05d}.ply")
+            self.logger.log_numpy_data(
+                np.asarray(self.get_updated_poses()), f"frame_poses_{frame.index:05d}"
+            )
+        if did_replay:  # graph reset (mapping.py:145-147)
+            st.keyframes = [st.current_keyframe]
+
+    def get_updated_poses(self):
+        """Flush frame_poses into final_poses (mapping.py:341-351)."""
+        st = self.state
+        for kf_idx, rel in st.frame_poses:
+            ref = st.keyframes[kf_idx] if kf_idx < len(st.keyframes) else st.current_keyframe
+            st.final_poses.append(ref.pose_matrix() @ rel)
+        st.frame_poses = []
+        return st.final_poses
+
+    def extract_mesh(self, res: int | None = None):
+        return mesher.extract_mesh(
+            self.state.map_state, self.map_cfg,
+            self.state.decoder_params, self.state.decoder_meta,
+            res=res or self.mesh_res, compute_dtype=self.compute_dtype,
+        )
+
+    def finalize(self):
+        """End-of-sequence: optional no-replay mesh, final_iter replay,
+        final poses + mesh (mapping.py:150-169)."""
+        st = self.state
+        if self.logger is not None:
+            v, f = self.extract_mesh()
+            self.logger.log_mesh(v, f, name="final_mesh_noreplay.ply")
+        if self.final_iter:
+            self._replay(len(st.keyframes) + 1)
+        poses = self.get_updated_poses()
+        if self.logger is not None:
+            self.logger.log_numpy_data(np.asarray(poses), "frame_poses")
+            v, f = self.extract_mesh()
+            self.logger.log_mesh(v, f, name="final_mesh.ply")
+        return poses
+
+    def run(self):
+        """Full sequence (demo/run.py behavior)."""
+        tspec = self.cfg.tracker_specs
+        start = int(tspec.get("start_frame", 0))
+        end = int(tspec.get("end_frame", -1))
+        stride = int(tspec.get("read_offset", 1))
+        n = len(self.dataset)
+        if end <= 0:
+            end = n - 1
+        start, end = min(start, n), min(end, n - 1)
+
+        init_pose = self.dataset.get_init_pose(start)
+        idx, pts, cos, pose = self.dataset[start]
+        first = Frame.from_raw(idx, pts, cos, init_pose, self.points_pad,
+                               has_gt_pose=pose is not None)
+        self.process_first_frame(first)
+
+        for frame_id in range(start + 1, end + 1):
+            if frame_id % stride != 0:
+                continue
+            idx, pts, cos, pose = self.dataset[frame_id]
+            frame = Frame.from_raw(
+                idx, pts, cos, pose, self.points_pad, has_gt_pose=pose is not None
+            )
+            with self.prof.section(f"frame"):
+                self.process_frame(frame)
+        return self.finalize()

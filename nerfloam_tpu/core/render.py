@@ -37,6 +37,7 @@ def field_at(
     state: vm.MapState,
     map_cfg: vm.MapConfig,
     decoder_params,
+    decoder_meta,
     xyz: jnp.ndarray,
     lattice_id: jnp.ndarray,
     compute_dtype=jnp.float32,
@@ -52,7 +53,7 @@ def field_at(
     embs = state.embeddings[jnp.clip(cidx, 0)]         # (..., 8, F)
     center = (state.lat_coords[safe].astype(jnp.float32) + 0.5) * map_cfg.voxel_size
     feats = interp_corner_features(xyz, center, embs, map_cfg.voxel_size)
-    return decoder_apply(decoder_params, feats, compute_dtype)[..., 0]
+    return decoder_apply(decoder_params, decoder_meta, feats, compute_dtype)[..., 0]
 
 
 def render_rays(
@@ -60,6 +61,7 @@ def render_rays(
     map_cfg: vm.MapConfig,
     rc: RaycastConfig,
     decoder_params,
+    decoder_meta,
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
     t_cap: jnp.ndarray,
@@ -74,7 +76,7 @@ def render_rays(
     valid = valid & ray_valid[:, None]
 
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    sdf = field_at(state, map_cfg, decoder_params, xyz, lid, compute_dtype)
+    sdf = field_at(state, map_cfg, decoder_params, decoder_meta, xyz, lid, compute_dtype)
     sdf = jnp.where(valid, sdf, 1.0)
     z_out = jnp.where(valid, z, MAX_DEPTH)
     return RenderOutput(z_out, sdf, ray_mask, valid, xyz)

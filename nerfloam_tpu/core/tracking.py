@@ -1,0 +1,126 @@
+"""Frame-to-map tracking: SE(3) pose optimization against the frozen field.
+
+Equivalent of the reference's track_frame (/root/reference/src/variations/
+render_helpers.py:428-514) and the Tracking engine around it
+(src/tracking.py:98-148), redesigned as ONE jitted program: the whole
+N-iteration Adam loop runs inside lax.fori_loop, so a tracked frame is a
+single device dispatch (the reference re-launched ~10 kernels × 25
+iterations with host sync between each).
+
+Per iteration (matching the reference's loop body):
+  - Gumbel-resample N_rays from the frame's valid points,
+  - rotate sensor-frame ray dirs by the current pose, origin = translation,
+  - render through the frozen map/decoder,
+  - free-space + truncated-SDF loss with ground-cosine correction,
+  - Adam step on the 6-vector pose only.
+
+The learning-rate schedule matches render_helpers.py:448-450 (x2 for the
+first two frames, /3 after); the first tracked frame runs 5x iterations
+(tracking.py:127). Total-miss fallback to the constant-velocity pose
+(tracking.py:136-137) is decided by the host from the returned hit count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerfloam_tpu.core.losses import sdf_losses
+from nerfloam_tpu.core.render import render_rays
+from nerfloam_tpu.map.voxel_map import MapConfig, MapState
+from nerfloam_tpu.ops import se3
+from nerfloam_tpu.ops.raycast import RaycastConfig
+from nerfloam_tpu.ops.sampling import sample_ray_indices
+
+
+class TrackParams(NamedTuple):
+    """Static tracking parameters."""
+
+    n_rays: int
+    num_iterations: int
+    truncation: float
+    max_depth: float
+    fs_weight: float
+    sdf_weight: float
+    compute_dtype: str = "float32"
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray        # (6,) optimized pose
+    hit_count: jnp.ndarray   # () int32 — hit rays at the last iteration
+    loss: jnp.ndarray        # () float32 last-iteration loss
+
+
+def t_cap_for(points: jnp.ndarray, cos: jnp.ndarray, truncation: float, max_depth: float):
+    """Per-ray useful sampling range: measured distance + the cosine-widened
+    truncation band (samples beyond are in the reference's back_mask and
+    loss-neutral; see ops/raycast.py docstring)."""
+    d = jnp.linalg.norm(points, axis=-1)
+    band = truncation / jnp.maximum(cos, 0.05)
+    return jnp.minimum(d + band + 0.5, max_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "tp", "decoder_meta"))
+def track_frame(
+    map_state: MapState,
+    map_cfg: MapConfig,
+    rc: RaycastConfig,
+    tp: TrackParams,
+    decoder_params,
+    decoder_meta,
+    init_pose: jnp.ndarray,   # (6,)
+    points: jnp.ndarray,      # (P, 3) sensor-frame points (padded)
+    points_cos: jnp.ndarray,  # (P,)
+    points_valid: jnp.ndarray,  # (P,) bool
+    learning_rate: jnp.ndarray,  # () float32
+    key: jax.Array,
+) -> TrackResult:
+    # tp.num_iterations is static: the first tracked frame uses a tp with 5x
+    # iterations (tracking.py:127), costing one extra jit cache entry instead
+    # of masked no-op iterations on every later frame.
+    compute_dtype = jnp.dtype(tp.compute_dtype)
+    opt = optax.scale_by_adam()
+    opt_state = opt.init(init_pose)
+
+    def loss_fn(pose6, ridx, rvalid, k):
+        pts = points[ridx]                       # (N, 3)
+        pcos = points_cos[ridx]
+        dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+        wdirs = se3.rotate_dirs(pose6, dirs)     # (N, 3)
+        origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
+        t_cap = t_cap_for(pts, pcos, tp.truncation, tp.max_depth)
+        out = render_rays(
+            map_state, map_cfg, rc, decoder_params, decoder_meta,
+            origin, wdirs, t_cap, rvalid, k, compute_dtype,
+        )
+        loss, _ = sdf_losses(
+            out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
+            pts, pcos, tp.truncation, tp.max_depth,
+            tp.fs_weight, tp.sdf_weight,
+        )
+        return loss, jnp.sum(out.ray_mask)
+
+    def body(i, carry):
+        pose6, opt_state, key, _, _ = carry
+        key, k_sample, k_render = jax.random.split(key, 3)
+        ridx, rvalid = sample_ray_indices(k_sample, points_valid, tp.n_rays)
+        (loss, hits), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            pose6, ridx, rvalid, k_render
+        )
+        updates, opt_state = opt.update(g, opt_state)
+        pose6 = pose6 - learning_rate * updates
+        return pose6, opt_state, key, hits, loss
+
+    init = (
+        init_pose,
+        opt_state,
+        key,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.float32),
+    )
+    pose6, _, _, hits, loss = jax.lax.fori_loop(0, tp.num_iterations, body, init)
+    return TrackResult(pose6, hits, loss)

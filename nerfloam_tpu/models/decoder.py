@@ -14,13 +14,22 @@ both weight and bias) so training dynamics match the reference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Params = Dict[str, Any]
+
+
+class DecoderMeta(NamedTuple):
+    """Static (hashable) decoder architecture descriptor, kept OUT of the
+    parameter pytree so jax.grad sees pure arrays."""
+
+    skips: tuple
+    embedder: str
+    multires: int
 
 
 def positional_embedding_dim(in_dim: int, embedder: str, multires: int) -> int:
@@ -82,34 +91,26 @@ def init_decoder(
         "w": jax.random.uniform(k1, (width, 1), dtype, -bound, bound),
         "b": jax.random.uniform(k2, (1,), dtype, -bound, bound),
     }
-    params: Params = {
-        "layers": layers,
-        "out": out_layer,
-        "meta": {
-            "skips": tuple(skips),
-            "embedder": embedder,
-            "multires": multires,
-        },
-    }
+    params: Params = {"layers": layers, "out": out_layer}
     if embedder == "gaussian":
         key, kg = jax.random.split(key)
         params["gaussian_B"] = jax.random.normal(kg, (in_dim, 93), dtype) * 25.0
-    return params
+    meta = DecoderMeta(tuple(skips), embedder, multires)
+    return params, meta
 
 
 def decoder_apply(
-    params: Params, feats: jnp.ndarray, compute_dtype=jnp.float32
+    params: Params, meta: DecoderMeta, feats: jnp.ndarray, compute_dtype=jnp.float32
 ) -> jnp.ndarray:
     """SDF values for interpolated features (..., in_dim) -> (..., 1).
 
     ``compute_dtype`` lets the hot path run the matmuls in bfloat16 on the
     MXU while parameters stay float32.
     """
-    meta = params["meta"]
     x = apply_positional_embedding(
-        feats, meta["embedder"], meta["multires"], params.get("gaussian_B")
+        feats, meta.embedder, meta.multires, params.get("gaussian_B")
     )
-    skips = meta["skips"]
+    skips = meta.skips
     h = x
     for i, layer in enumerate(params["layers"]):
         w = layer["w"].astype(compute_dtype)

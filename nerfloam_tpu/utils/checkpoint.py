@@ -1,0 +1,126 @@
+"""Checkpoint / resume.
+
+The reference declared but never wired checkpointing (loggers.py:36-49 has
+no call site; --resume is parsed and dropped, SURVEY §5). Here it is real:
+the whole SLAM state — lattice map, embeddings, decoder, keyframes,
+trajectory bookkeeping — is flat arrays and lists, saved as one npz + json
+manifest and restored exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from nerfloam_tpu.core.frame import Frame
+from nerfloam_tpu.map import voxel_map as vm
+
+
+def save_checkpoint(path: str, slam) -> None:
+    os.makedirs(path, exist_ok=True)
+    st = slam.state
+    arrays = {
+        f"map_{name}": np.asarray(getattr(st.map_state, name))
+        for name in st.map_state._fields
+    }
+    dec_flat = {}
+    for i, layer in enumerate(st.decoder_params["layers"]):
+        dec_flat[f"dec_w{i}"] = np.asarray(layer["w"])
+        dec_flat[f"dec_b{i}"] = np.asarray(layer["b"])
+    dec_flat["dec_out_w"] = np.asarray(st.decoder_params["out"]["w"])
+    dec_flat["dec_out_b"] = np.asarray(st.decoder_params["out"]["b"])
+    if "gaussian_B" in st.decoder_params:
+        dec_flat["dec_gaussian_B"] = np.asarray(st.decoder_params["gaussian_B"])
+
+    kf_arrays = {}
+    for i, kf in enumerate(st.keyframes):
+        kf_arrays[f"kf{i}_points"] = kf.points
+        kf_arrays[f"kf{i}_cos"] = kf.points_cos
+        kf_arrays[f"kf{i}_valid"] = kf.valid
+        kf_arrays[f"kf{i}_pose6"] = kf.pose6
+
+    np.savez_compressed(
+        os.path.join(path, "state.npz"),
+        **arrays, **dec_flat, **kf_arrays,
+        final_poses=np.asarray(st.final_poses).reshape(-1, 4, 4)
+        if st.final_poses else np.zeros((0, 4, 4)),
+        fp_kf_idx=np.asarray([i for i, _ in st.frame_poses], np.int64),
+        fp_rel=np.stack([r for _, r in st.frame_poses])
+        if st.frame_poses else np.zeros((0, 4, 4)),
+        last_pose6=st.last_frame.pose6 if st.last_frame else np.zeros(6),
+        rel_pose=st.rel_pose if st.rel_pose is not None else np.eye(4),
+    )
+    manifest = {
+        "map_cfg": slam.map_cfg._asdict(),
+        "n_keyframes": len(st.keyframes),
+        "kf_indices": [kf.index for kf in st.keyframes],
+        "kf_n_points": [kf.n_points for kf in st.keyframes],
+        "current_keyframe": st.keyframes.index(st.current_keyframe)
+        if st.current_keyframe in st.keyframes else -1,
+        "first_frame_id": st.first_frame_id,
+        "frames_processed": st.frames_processed,
+        "has_rel_pose": st.rel_pose is not None,
+        "last_frame_index": st.last_frame.index if st.last_frame else -1,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_checkpoint(path: str, slam) -> None:
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    data = np.load(os.path.join(path, "state.npz"))
+    mc = manifest["map_cfg"]
+    slam.map_cfg = vm.MapConfig(
+        capacity=int(mc["capacity"]),
+        grid_dim=tuple(mc["grid_dim"]),
+        voxel_size=float(mc["voxel_size"]),
+        feat_dim=int(mc["feat_dim"]),
+        emb_dtype=mc["emb_dtype"],
+    )
+    st = slam.state
+    st.map_cfg = slam.map_cfg
+    st.map_state = vm.MapState(
+        **{name: jnp.asarray(data[f"map_{name}"]) for name in vm.MapState._fields}
+    )
+    for i, layer in enumerate(st.decoder_params["layers"]):
+        layer["w"] = jnp.asarray(data[f"dec_w{i}"])
+        layer["b"] = jnp.asarray(data[f"dec_b{i}"])
+    st.decoder_params["out"]["w"] = jnp.asarray(data["dec_out_w"])
+    st.decoder_params["out"]["b"] = jnp.asarray(data["dec_out_b"])
+    if "dec_gaussian_B" in data:
+        st.decoder_params["gaussian_B"] = jnp.asarray(data["dec_gaussian_B"])
+
+    st.keyframes = []
+    for i in range(manifest["n_keyframes"]):
+        f = Frame(
+            index=manifest["kf_indices"][i],
+            points=data[f"kf{i}_points"],
+            points_cos=data[f"kf{i}_cos"],
+            valid=data[f"kf{i}_valid"],
+            n_points=manifest["kf_n_points"][i],
+            pose6=data[f"kf{i}_pose6"],
+        )
+        st.keyframes.append(f)
+    cur = manifest["current_keyframe"]
+    st.current_keyframe = st.keyframes[cur] if cur >= 0 else None
+    st.final_poses = list(data["final_poses"])
+    st.frame_poses = list(
+        zip(data["fp_kf_idx"].tolist(), list(data["fp_rel"]))
+    )
+    st.first_frame_id = manifest["first_frame_id"]
+    st.frames_processed = manifest["frames_processed"]
+    if manifest["last_frame_index"] >= 0:
+        lf = Frame(
+            index=manifest["last_frame_index"],
+            points=np.zeros((1, 3), np.float32),
+            points_cos=np.ones(1, np.float32),
+            valid=np.zeros(1, bool),
+            n_points=0,
+            pose6=data["last_pose6"],
+        )
+        st.last_frame = lf
+    st.rel_pose = data["rel_pose"] if manifest["has_rel_pose"] else None
