@@ -1,0 +1,115 @@
+"""End-to-end benchmark: tracked+mapped scans/sec at the KITTI compute budget.
+
+Runs the full SLAM pipeline (track 25x2048-ray Adam iterations + map 25
+iterations + voxel insertion + map maintenance per scan — the exact
+per-frame budget of configs/kitti/kitti.yaml, BASELINE.md "implicit
+per-frame compute budget") on a procedural KITTI-like world, on whatever
+device JAX provides (the real TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.json "published": {}). We use 1.0 scans/s as the RTX 3090
+reference estimate — the reference executes ~50 optimizer iterations per
+scan, each with >= 6 separate CUDA kernel launches, two host<->device
+embedding-table round-trips (render_helpers.py:88) and cross-process
+pickling per frame; NeRF-LOAM is described by its authors as non-real-time.
+The target in BASELINE.md is >= 5x that estimate.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_SCANS_PER_SEC = 1.0  # documented estimate, see module docstring
+
+BENCH_OVERRIDES = [
+    # KITTI-budget knobs on the synthetic world
+    "data_specs.n_frames=36",
+    "data_specs.max_depth=40.0",
+    "data_specs.min_depth=2.0",
+    "data_specs.n_beams=64",
+    "data_specs.n_azimuth=1024",
+    "data_specs.traj_step=1.0",
+    "data_specs.yaw_rate=0.004",
+    "tracker_specs.N_rays=2048",
+    "tracker_specs.num_iterations=25",
+    "tracker_specs.step_size=0.2",
+    "tracker_specs.learning_rate=0.06",
+    "mapper_specs.N_rays_each=2048",
+    "mapper_specs.num_iterations=25",
+    "mapper_specs.voxel_size=0.4",
+    "mapper_specs.step_size=0.5",
+    "mapper_specs.keyframe_gap=8",
+    "debug_args.mesh_freq=-1",
+    "tpu_specs.points_pad=65536",
+    "tpu_specs.kf_points_pad=65536",
+    "tpu_specs.map_capacity=2097152",
+    "tpu_specs.track_samples=128",
+    "tpu_specs.map_samples=64",
+    "tpu_specs.bootstrap_steps=4",
+    "tpu_specs.region_z_half=12.0",
+    "tpu_specs.compute_dtype=bfloat16",
+]
+
+WARMUP_FRAMES = 6  # compile + first-frame special cases excluded from timing
+
+
+def main():
+    from nerfloam_tpu.core.pipeline import NerfLoamSLAM
+    from nerfloam_tpu.core.frame import Frame
+    from nerfloam_tpu.data import get_dataset
+    from nerfloam_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "configs", "synthetic",
+                     "synthetic_small.yaml"),
+        BENCH_OVERRIDES,
+    )
+    dataset = get_dataset(cfg)
+    slam = NerfLoamSLAM(cfg, dataset)
+
+    # pre-load all scans so host IO is out of the timed loop
+    frames = []
+    for i in range(len(dataset)):
+        idx, pts, cos, pose = dataset[i]
+        frames.append(Frame.from_raw(idx, pts, cos, None, slam.points_pad))
+
+    init_pose = dataset.get_init_pose(0)
+    first = frames[0]
+    from nerfloam_tpu.core.frame import pose6_from_matrix_np
+
+    first.pose6 = pose6_from_matrix_np(init_pose)
+    slam.process_first_frame(first)
+
+    for f in frames[1:WARMUP_FRAMES]:
+        slam.process_frame(f)
+
+    import jax
+
+    jax.block_until_ready(slam.state.map_state.embeddings)
+    t0 = time.perf_counter()
+    n_timed = 0
+    for f in frames[WARMUP_FRAMES:]:
+        slam.process_frame(f)
+        n_timed += 1
+    jax.block_until_ready(slam.state.map_state.embeddings)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = n_timed / dt
+    result = {
+        "metric": "scans_per_sec_kitti_budget",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

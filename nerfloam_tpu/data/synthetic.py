@@ -32,8 +32,9 @@ class SyntheticWorld(NamedTuple):
         t_best = np.where(ok & (t_g < t_best), t_g, t_best)
         is_ground = np.where(ok & (t_g <= t_best), True, False)
 
-        for box in self.boxes:
+        with np.errstate(divide="ignore", invalid="ignore"):
             inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, 1e12 * np.sign(dirs + 1e-30))
+        for box in self.boxes:
             t1 = (box[0][None] - origins) * inv
             t2 = (box[1][None] - origins) * inv
             tmin = np.max(np.minimum(t1, t2), axis=-1)
