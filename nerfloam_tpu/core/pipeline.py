@@ -459,13 +459,13 @@ class NerfLoamSLAM:
                                has_gt_pose=pose is not None)
         self.process_first_frame(first)
 
-        for frame_id in range(start + 1, end + 1):
-            if frame_id % stride != 0:
-                continue
-            idx, pts, cos, pose = self.dataset[frame_id]
+        from nerfloam_tpu.data.prefetch import PrefetchingLoader
+
+        ids = [i for i in range(start + 1, end + 1) if i % stride == 0]
+        for frame_id, (idx, pts, cos, pose) in PrefetchingLoader(self.dataset, ids):
             frame = Frame.from_raw(
                 idx, pts, cos, pose, self.points_pad, has_gt_pose=pose is not None
             )
-            with self.prof.section(f"frame"):
+            with self.prof.section("frame"):
                 self.process_frame(frame)
         return self.finalize()

@@ -56,7 +56,13 @@ class LidarDataset:
     def __getitem__(self, index: int):
         points = self.read_scan(index)[:, :3].astype(np.float32)
         points = self.filter_range(points)
-        _, cos = segment_ground(points)
+        from nerfloam_tpu.native import segment_ground_native
+
+        res = segment_ground_native(points)  # C++ path; numpy fallback below
+        if res is not None:
+            _, cos = res
+        else:
+            _, cos = segment_ground(points)
         pose = (
             np.concatenate((self.gt_pose[index], [0, 0, 0, 1])).reshape(4, 4)
             if self.use_gt

@@ -203,7 +203,7 @@ def make_sharded_ba_iteration(
             },
             P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -50,13 +50,20 @@ def test_mesh_quality(slam_run):
     from nerfloam_tpu.data.synthetic import surface_samples
 
     gt_samples = surface_samples(dataset.world, 20000, extent=12.0)
-    # restrict GT to the region the 10-frame trajectory observed
+    # evaluate on the intersection region (crop BOTH sets to within 12 m of
+    # the trajectory — the mesh legitimately extends to scan range beyond
+    # the cropped GT samples)
     traj = dataset.gt_trajectory()[:10][:, :3, 3]
-    near = np.min(
-        np.linalg.norm(gt_samples[:, None] - traj[None], axis=-1), axis=1
-    ) < 12.0
-    m = ev.mesh_metrics(mesh_samples, gt_samples[near], f_threshold=0.4)
-    assert m["f_score"] > 0.5, m
+
+    def near_traj(p):
+        return np.min(np.linalg.norm(p[:, None] - traj[None], axis=-1), axis=1) < 12.0
+
+    m = ev.mesh_metrics(
+        mesh_samples[near_traj(mesh_samples)],
+        gt_samples[near_traj(gt_samples)],
+        f_threshold=0.4,
+    )
+    assert m["f_score"] > 0.6, m
     assert m["accuracy_m"] < 0.5, m
 
 
