@@ -1,0 +1,70 @@
+"""Evaluation CLI: trajectory ATE + mesh quality (SHINE-mapping protocol).
+
+Usage:
+  python demo/eval.py traj --est runs/.../frame_poses.npy --gt poses_gt.txt
+  python demo/eval.py mesh --mesh runs/.../final_mesh.ply --gt-cloud gt.ply \
+      [--f-threshold 0.1] [--crop-to-est]
+
+The reference delegates this to external SHINE-mapping scripts
+(Readme.md:106-108); here it is built in.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+from nerfloam_tpu.utils import evaluation as ev
+from nerfloam_tpu.utils.logger import read_ply
+
+
+def load_traj(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        arr = np.load(path)
+    else:
+        arr = np.loadtxt(path)
+    if arr.ndim == 2 and arr.shape[1] in (12, 16):
+        arr = arr[:, :12].reshape(-1, 3, 4)
+        pad = np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(arr), 1, 1))
+        arr = np.concatenate([arr, pad], axis=1)
+    return arr
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    t = sub.add_parser("traj")
+    t.add_argument("--est", required=True)
+    t.add_argument("--gt", required=True)
+    m = sub.add_parser("mesh")
+    m.add_argument("--mesh", required=True)
+    m.add_argument("--gt-cloud", required=True)
+    m.add_argument("--f-threshold", type=float, default=0.1)
+    m.add_argument("--n-samples", type=int, default=200000)
+    args = p.parse_args()
+
+    if args.cmd == "traj":
+        est, gt = load_traj(args.est), load_traj(args.gt)
+        out = {
+            "ate_rmse_raw_m": ev.ate_rmse(est, gt, align=False),
+            "ate_rmse_aligned_m": ev.ate_rmse(est, gt, align=True),
+            "n_poses": int(min(len(est), len(gt))),
+        }
+    else:
+        verts, faces = read_ply(args.mesh)
+        gt_pts, _ = read_ply(args.gt_cloud)
+        samples = (
+            ev.sample_mesh_surface(verts, faces, args.n_samples)
+            if faces is not None and len(faces)
+            else verts
+        )
+        out = ev.mesh_metrics(samples, gt_pts, f_threshold=args.f_threshold)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

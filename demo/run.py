@@ -10,7 +10,11 @@ import sys
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
+import jax
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from nerfloam_tpu.core.pipeline import NerfLoamSLAM
 from nerfloam_tpu.data import get_dataset
