@@ -55,23 +55,52 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     return I + A[..., None, None] * wx + B[..., None, None] * wx2
 
 
-def log_so3(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+def log_so3(R: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Matrix log: rotation (..., 3, 3) -> axis-angle (..., 3).
 
-    Mirrors the reference's ``OptimizablePose.log`` (se3pose.py:38-45):
-    theta from the trace (clamped away from ±1), w from the skew part
-    scaled by 1/(2 sinc(theta)). Not valid at theta = pi (same limitation
-    as the reference; LiDAR frame-to-frame rotations are far from pi).
+    Same role as the reference's ``OptimizablePose.log`` (se3pose.py:38-45)
+    but via quaternion extraction (Shepperd's method: pick the numerically
+    dominant of the four 1 +/- trace combinations) so it stays accurate in
+    float32 all the way to theta = pi, where the reference's skew-part
+    formula degenerates. Angle returned in [0, pi].
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + eps, 1.0 - eps)
-    theta = jnp.arccos(cos_t)
-    A, _ = _sinc_coeffs(theta * theta)
-    skew_part = 0.5 * (R - jnp.swapaxes(R, -1, -2)) / (A[..., None, None] + 1e-12)
-    w0 = skew_part[..., 2, 1]
-    w1 = skew_part[..., 0, 2]
-    w2 = skew_part[..., 1, 0]
-    return jnp.stack([w0, w1, w2], axis=-1)
+    m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    r21 = R[..., 2, 1] - R[..., 1, 2]
+    r02 = R[..., 0, 2] - R[..., 2, 0]
+    r10 = R[..., 1, 0] - R[..., 0, 1]
+    s01 = R[..., 0, 1] + R[..., 1, 0]
+    s02 = R[..., 0, 2] + R[..., 2, 0]
+    s12 = R[..., 1, 2] + R[..., 2, 1]
+    # 4q_i^2 for i in (w, x, y, z); >= 0 up to rounding.
+    tw = 1.0 + m00 + m11 + m22
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+    sw = 2.0 * jnp.sqrt(jnp.maximum(tw, eps))
+    sx = 2.0 * jnp.sqrt(jnp.maximum(tx, eps))
+    sy = 2.0 * jnp.sqrt(jnp.maximum(ty, eps))
+    sz = 2.0 * jnp.sqrt(jnp.maximum(tz, eps))
+    # Candidate quaternions (w, x, y, z) from each branch.
+    qw = jnp.stack([sw * 0.25, r21 / sw, r02 / sw, r10 / sw], axis=-1)
+    qx = jnp.stack([r21 / sx, sx * 0.25, s01 / sx, s02 / sx], axis=-1)
+    qy = jnp.stack([r02 / sy, s01 / sy, sy * 0.25, s12 / sy], axis=-1)
+    qz = jnp.stack([r10 / sz, s02 / sz, s12 / sz, sz * 0.25], axis=-1)
+    ts = jnp.stack([tw, tx, ty, tz], axis=-1)
+    idx = jnp.argmax(ts, axis=-1)
+    q = jnp.where(
+        (idx == 0)[..., None],
+        qw,
+        jnp.where((idx == 1)[..., None], qx, jnp.where((idx == 2)[..., None], qy, qz)),
+    )
+    # Canonicalize to q_w >= 0 so theta lands in [0, pi].
+    q = q * jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
+    vec = q[..., 1:4]
+    n = jnp.linalg.norm(vec, axis=-1)
+    theta = 2.0 * jnp.arctan2(n, q[..., 0])
+    # theta/n -> 2/q_w as n -> 0; q_w ~ 1 there.
+    small = n < 1e-6
+    scale = jnp.where(small, 2.0, theta / jnp.where(small, 1.0, n))
+    return vec * scale[..., None]
 
 
 # --- pose6 = [tx, ty, tz, wx, wy, wz] ------------------------------------
