@@ -16,8 +16,18 @@ Parameter-group semantics match the reference:
     with fresh per-call state this is exactly equivalent to excluding the
     group from the optimizer.
 
-Static window: the frame axis has ``n_frames`` slots; when fewer keyframes
-exist, inactive slots are masked out of sampling, loss, and updates.
+TPU redesign of the embedding update (measured on v5e): XLA's scatter-add
+into (C, 16) corner rows runs at ~10 M rows/s — 2048x64x8 corner gradients
+per iteration would cost ~100 ms/iter, dwarfing everything else. Instead BA
+optimizes the *packed* per-voxel corner table (A, 8F=128 lanes) built by
+refresh_active — its gather AND scatter run ~25x faster because a 512 B row
+is a full 128-lane vector — and folds the per-copy deltas back into the
+canonical shared-corner table once per BA step (voxel_map.reconcile_packed):
+a lattice corner shared by k voxels receives the sum of its k copies'
+deltas. Within one BA step copies of a shared corner may diverge by one
+Adam-step's worth of difference; ``exact_embedding_grads=True`` keeps the
+reference's exact single-parameter-per-corner chain (slow; tests/quality
+A/B use it to bound the approximation).
 """
 
 from __future__ import annotations
@@ -32,6 +42,7 @@ import optax
 from nerfloam_tpu.core.losses import sdf_losses
 from nerfloam_tpu.core.render import render_rays
 from nerfloam_tpu.core.tracking import t_cap_for
+from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.map.voxel_map import MapConfig, MapState
 from nerfloam_tpu.ops import se3
 from nerfloam_tpu.ops.raycast import RaycastConfig
@@ -49,12 +60,15 @@ class BAParams(NamedTuple):
     fs_weight: float
     sdf_weight: float
     compute_dtype: str = "float32"
+    touched_cap: int = 1 << 16   # compaction budget for delta reconciliation
+    exact_embedding_grads: bool = False  # reference-exact canonical path
 
 
 class BAResult(NamedTuple):
-    embeddings: jnp.ndarray
+    embeddings: jnp.ndarray  # (C, F) reconciled canonical table
+    packed: jnp.ndarray      # (A, 8F) optimized packed table
     decoder_params: object
-    poses: jnp.ndarray   # (W, 6)
+    poses: jnp.ndarray       # (W, 6)
     loss: jnp.ndarray
 
 
@@ -78,14 +92,18 @@ def ba_step(
 ) -> BAResult:
     compute_dtype = jnp.dtype(bp.compute_dtype)
     W = bp.n_frames
+    A = vm.acap(map_cfg)
     opt = optax.scale_by_adam()
 
-    emb0 = map_state.embeddings
-    opt_state0 = opt.init((emb0, decoder_params, poses))
-
     def loss_fn(opt_params, ridx, rvalid, k):
-        emb, dec, pos = opt_params
-        state = map_state._replace(embeddings=emb)
+        emb_like, dec, pos = opt_params
+        if bp.exact_embedding_grads:
+            # canonical (C, F) params; repack fresh every iteration so the
+            # gradient chain matches the reference's shared-corner params
+            st = map_state._replace(embeddings=emb_like)
+            st = st._replace(packed=vm.pack_embeddings(st, map_cfg))
+        else:
+            st = map_state._replace(packed=emb_like)
         pts = jnp.take_along_axis(points, ridx[..., None], axis=1)  # (W,N,3)
         pcos = jnp.take_along_axis(points_cos, ridx, axis=1)        # (W,N)
         dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
@@ -97,7 +115,7 @@ def ba_step(
         flat = lambda x: x.reshape((W * N,) + x.shape[2:])
         t_cap = t_cap_for(flat(pts), flat(pcos), bp.truncation, bp.max_depth)
         out = render_rays(
-            state, map_cfg, rc, dec, decoder_meta,
+            st, map_cfg, rc, dec, decoder_meta,
             flat(origins), flat(wdirs), t_cap, flat(rvalid), k, compute_dtype,
         )
         loss, _ = sdf_losses(
@@ -107,8 +125,14 @@ def ba_step(
         )
         return loss
 
+    emb0 = (
+        map_state.embeddings if bp.exact_embedding_grads else map_state.packed
+    )
+    opt_state0 = opt.init((emb0, decoder_params, poses))
+    touched0 = jnp.zeros((A,), jnp.bool_)
+
     def body(i, carry):
-        emb, dec, pos, opt_state, key, _ = carry
+        emb, dec, pos, opt_state, key, touched, _ = carry
         key, k_s, k_r = jax.random.split(key, 3)
         ridx, rvalid = jax.vmap(
             lambda k, v: sample_ray_indices(k, v, bp.n_rays)
@@ -117,6 +141,8 @@ def ba_step(
 
         loss, grads = jax.value_and_grad(loss_fn)((emb, dec, pos), ridx, rvalid, k_r)
         g_emb, g_dec, g_pos = grads
+        if not bp.exact_embedding_grads:
+            touched = touched | jnp.any(g_emb != 0.0, axis=-1)
         # group freezing (see module docstring)
         g_dec = jax.tree.map(
             lambda g: g * update_decoder.astype(g.dtype), g_dec
@@ -129,8 +155,18 @@ def ba_step(
         emb = emb - lrs[0] * u_emb
         dec = jax.tree.map(lambda p, u: p - lrs[1] * u, dec, u_dec)
         pos = pos - lrs[2] * u_pos * pose_mask
-        return emb, dec, pos, opt_state, key, loss
+        return emb, dec, pos, opt_state, key, touched, loss
 
-    init = (emb0, decoder_params, poses, opt_state0, key, jnp.zeros((), jnp.float32))
-    emb, dec, pos, _, _, loss = jax.lax.fori_loop(0, bp.num_iterations, body, init)
-    return BAResult(emb, dec, pos, loss)
+    init = (emb0, decoder_params, poses, opt_state0, key, touched0,
+            jnp.zeros((), jnp.float32))
+    emb, dec, pos, _, _, touched, loss = jax.lax.fori_loop(
+        0, bp.num_iterations, body, init
+    )
+
+    if bp.exact_embedding_grads:
+        final_state = map_state._replace(embeddings=emb)
+        packed = vm.pack_embeddings(final_state, map_cfg)
+        return BAResult(emb, packed, dec, pos, loss)
+
+    new_emb = vm.reconcile_packed(map_state, map_cfg, emb, touched, bp.touched_cap)
+    return BAResult(new_emb, emb, dec, pos, loss)

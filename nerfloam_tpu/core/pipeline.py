@@ -86,6 +86,7 @@ class NerfLoamSLAM:
             voxel_size=shapes["voxel_size"],
             feat_dim=int(cfg.decoder_specs["in_dim"]),
             emb_dtype=tpu["emb_dtype"],
+            active_cap=min(int(tpu.get("active_cap", 1 << 18)), int(tpu["map_capacity"])),
         )
 
         self.rc_track = RaycastConfig(
@@ -123,6 +124,8 @@ class NerfLoamSLAM:
             fs_weight=float(crit["fs_weight"]),
             sdf_weight=float(crit["sdf_weight"]),
             compute_dtype=self.compute_dtype,
+            touched_cap=int(tpu.get("touched_cap", 1 << 16)),
+            exact_embedding_grads=bool(tpu.get("exact_embedding_grads", False)),
         )
         self.bp_current = ba_mod.BAParams(
             n_frames=1,
@@ -199,10 +202,15 @@ class NerfLoamSLAM:
 
     # ----------------------------------------------------------------- mapper
 
-    def _recenter(self, center_world: np.ndarray):
-        self.state.map_state = vm.recenter(
+    def _recenter(self, center_world: np.ndarray, refresh: bool = True):
+        st = vm.recenter(
             self.state.map_state, self.map_cfg, jnp.asarray(center_world, jnp.float32)
         )
+        if refresh:
+            # one packed-table rebuild per frame, amortized over the ~50
+            # tracker+mapper iterations that consume it
+            st = vm.refresh_active(st, self.map_cfg)
+        self.state.map_state = st
 
     def create_voxels(self, frame: Frame):
         """World-transform + insert, with capacity-growth retry
@@ -261,7 +269,9 @@ class NerfLoamSLAM:
             jnp.asarray(bool(update_decoder)),
             jnp.asarray(self.ba_lrs), self._next_key(),
         )
-        st.map_state = st.map_state._replace(embeddings=res.embeddings)
+        st.map_state = st.map_state._replace(
+            embeddings=res.embeddings, packed=res.packed
+        )
         st.decoder_params = res.decoder_params
         new_poses = np.asarray(res.poses)
         for i, f in enumerate(targets):
@@ -326,8 +336,10 @@ class NerfLoamSLAM:
         st = self.state
         st.first_frame_id = frame.index
         st.last_frame = frame
-        self._recenter(frame.pose6[:3])
+        # insert before the first refresh so bootstrap BA sees the voxels
+        self._recenter(frame.pose6[:3], refresh=False)
         self.create_voxels(frame)
+        self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
         self.insert_keyframe(frame)
         mapper_frame = self._mapper_copy(frame)
         for _ in range(self.bootstrap_steps):

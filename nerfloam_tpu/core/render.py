@@ -22,7 +22,7 @@ from nerfloam_tpu.core.losses import MAX_DEPTH
 from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.models.decoder import decoder_apply
 from nerfloam_tpu.ops.interp import interp_corner_features
-from nerfloam_tpu.ops.raycast import RaycastConfig, sample_along_rays
+from nerfloam_tpu.ops.raycast import RaycastConfig, sample_rays_cdf
 
 
 class RenderOutput(NamedTuple):
@@ -39,19 +39,24 @@ def field_at(
     decoder_params,
     decoder_meta,
     xyz: jnp.ndarray,
-    lattice_id: jnp.ndarray,
+    active_id: jnp.ndarray,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """SDF at world points (..., 3) inside known surface voxels (...,).
+    """SDF at world points (..., 3) inside active surface voxels (...,).
 
     The feature path of get_features/get_embeddings (render_helpers.py:62-93)
-    without the CPU remap table: lattice id -> 8 corner rows -> embeddings ->
-    trilinear -> MLP.
+    without the CPU remap table. TPU layout: one contiguous (8*F)=128-lane
+    packed row per sample from ``state.packed`` (built by refresh_active) —
+    measured ~26x faster on v5e than 8 scattered F=16 corner-row gathers,
+    and the BA scatter-add backward gets the same 128-lane win.
     """
-    safe = jnp.clip(lattice_id, 0)
-    cidx = state.corner_idx[safe]                      # (..., 8)
-    embs = state.embeddings[jnp.clip(cidx, 0)]         # (..., 8, F)
-    center = (state.lat_coords[safe].astype(jnp.float32) + 0.5) * map_cfg.voxel_size
+    F = map_cfg.feat_dim
+    safe = jnp.clip(active_id, 0)
+    rows = state.packed[safe]                            # (..., 8F) one row each
+    embs = rows.reshape(rows.shape[:-1] + (8, F))        # (..., 8, F)
+    center = (
+        state.active_coords[safe].astype(jnp.float32) + 0.5
+    ) * map_cfg.voxel_size
     feats = interp_corner_features(xyz, center, embs, map_cfg.voxel_size)
     return decoder_apply(decoder_params, decoder_meta, feats, compute_dtype)[..., 0]
 
@@ -69,7 +74,7 @@ def render_rays(
     key: jax.Array,
     compute_dtype=jnp.float32,
 ) -> RenderOutput:
-    z, lid, valid, ray_mask = sample_along_rays(
+    z, lid, valid, ray_mask = sample_rays_cdf(
         state, map_cfg, rc, rays_o, rays_d, t_cap, key
     )
     ray_mask = ray_mask & ray_valid

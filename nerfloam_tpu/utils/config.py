@@ -103,6 +103,9 @@ DEFAULTS = {
                                      # spin, mapping.py:106-108)
         "compute_dtype": "float32",  # MLP matmul dtype ("bfloat16" on TPU)
         "emb_dtype": "float32",      # embedding storage (ref uses bfloat16)
+        "active_cap": 1 << 18,       # per-frame active surface-voxel budget
+        "touched_cap": 1 << 16,      # BA delta-reconciliation budget
+        "exact_embedding_grads": False,  # reference-exact (slow) BA grads
         "mesh_backend": "mt",        # "mt" (device marching tetrahedra)
         "seed": 777,
     },

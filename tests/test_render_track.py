@@ -58,6 +58,7 @@ def build_map(frames):
         pw, _, v = pad_frame(world_pts.astype(np.float32), cos)
         m = vm.insert_points(m, MAP_CFG, pw, v)
     assert not vm.overflowed(m, MAP_CFG)
+    m = vm.refresh_active(m, MAP_CFG)
     return m
 
 
@@ -112,18 +113,18 @@ def test_ba_reduces_loss_and_learns_sdf(scene):
     params, meta = init_decoder(jax.random.key(0))
 
     r1 = _ba(m, params, meta, frames[:3], 2, jax.random.key(5))
-    m2 = m._replace(embeddings=r1.embeddings)
+    m2 = m._replace(embeddings=r1.embeddings, packed=r1.packed)
     r2 = _ba(m2, r1.decoder_params, meta, frames[:3], 60, jax.random.key(6))
     assert float(r2.loss) < float(r1.loss) * 0.5
 
     # learned SDF should change sign across the ground surface (z=0):
-    m3 = m._replace(embeddings=r2.embeddings)
+    m3 = vm.refresh_active(m._replace(embeddings=r2.embeddings), MAP_CFG)
     from nerfloam_tpu.core.render import field_at
     probe_above = jnp.asarray([[3.0, 0.0, 0.35]], jnp.float32)
     probe_below = jnp.asarray([[3.0, 0.0, 0.15]], jnp.float32)
     cells = jnp.floor(probe_above / VS).astype(jnp.int32)
-    lid_a = vm.lookup(m3, MAP_CFG, cells)
-    lid_b = vm.lookup(m3, MAP_CFG, jnp.floor(probe_below / VS).astype(jnp.int32))
+    lid_a = vm.lookup_active(m3, MAP_CFG, cells)
+    lid_b = vm.lookup_active(m3, MAP_CFG, jnp.floor(probe_below / VS).astype(jnp.int32))
     if int(lid_a[0]) >= 0 and int(lid_b[0]) >= 0:
         sdf_a = float(field_at(m3, MAP_CFG, r2.decoder_params, meta, probe_above, lid_a)[0])
         sdf_b = float(field_at(m3, MAP_CFG, r2.decoder_params, meta, probe_below, lid_b)[0])
@@ -136,7 +137,7 @@ def test_tracking_recovers_pose(scene):
     params, meta = init_decoder(jax.random.key(0))
     # train the field on frames 0-3
     r = _ba(m, params, meta, frames[:4], 80, jax.random.key(7))
-    m = m._replace(embeddings=r.embeddings)
+    m = m._replace(embeddings=r.embeddings, packed=r.packed)
     params = r.decoder_params
 
     pts, cos, T = frames[4]
