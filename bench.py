@@ -54,12 +54,14 @@ BENCH_OVERRIDES = [
     "debug_args.mesh_freq=-1",
     "tpu_specs.points_pad=65536",
     "tpu_specs.kf_points_pad=65536",
-    "tpu_specs.map_capacity=2097152",
-    "tpu_specs.track_samples=128",
-    "tpu_specs.map_samples=64",
+    "tpu_specs.map_capacity=1048576",
+    "tpu_specs.track_samples=64",
+    "tpu_specs.map_samples=48",
     "tpu_specs.bootstrap_steps=4",
     "tpu_specs.region_z_half=12.0",
     "tpu_specs.compute_dtype=bfloat16",
+    "tpu_specs.active_cap=131072",
+    "tpu_specs.touched_cap=65536",
 ]
 
 WARMUP_FRAMES = 6  # compile + first-frame special cases excluded from timing

@@ -27,7 +27,7 @@ def matrix_from_pose6_np(p6: np.ndarray) -> np.ndarray:
     return np.asarray(se3.pose_matrix(jnp.asarray(p6, jnp.float32)))
 
 
-@dataclass
+@dataclass(eq=False)
 class Frame:
     index: int
     points: np.ndarray       # (P, 3) float32, zero-padded

@@ -277,7 +277,7 @@ class NerfLoamSLAM:
         for i, f in enumerate(targets):
             if pose_free[i]:
                 f.pose6 = new_poses[i]
-        return float(res.loss)
+        return res.loss  # device scalar; fetch only if you need it
 
     def _select_random_window(self) -> list[Frame]:
         kfs = self.state.keyframes
@@ -318,12 +318,13 @@ class NerfLoamSLAM:
             jnp.asarray(frame.points_cos), jnp.asarray(frame.valid),
             jnp.asarray(lr, jnp.float32), self._next_key(),
         )
-        hit_count = int(res.hit_count)
+        pose_np, hits_np = jax.device_get((res.pose, res.hit_count))
+        hit_count = int(hits_np)
         if hit_count == 0:  # miss fallback (tracking.py:136-137)
             from nerfloam_tpu.core.frame import pose6_from_matrix_np
             frame.pose6 = pose6_from_matrix_np(const_T)
         else:
-            frame.pose6 = np.asarray(res.pose)
+            frame.pose6 = np.asarray(pose_np)
             frame.hit_ratio = hit_count / tp.n_rays
         st.rel_pose = np.linalg.inv(last.pose_matrix()) @ frame.pose_matrix()
         frame.rel_pose = st.rel_pose
@@ -465,11 +466,16 @@ class NerfLoamSLAM:
             end = n - 1
         start, end = min(start, n), min(end, n - 1)
 
-        init_pose = self.dataset.get_init_pose(start)
-        idx, pts, cos, pose = self.dataset[start]
-        first = Frame.from_raw(idx, pts, cos, init_pose, self.points_pad,
-                               has_gt_pose=pose is not None)
-        self.process_first_frame(first)
+        resumed = self.state.frames_processed > 0
+        if resumed:
+            # --resume: continue after the last processed frame
+            start = max(start, self.state.last_frame.index)
+        else:
+            init_pose = self.dataset.get_init_pose(start)
+            idx, pts, cos, pose = self.dataset[start]
+            first = Frame.from_raw(idx, pts, cos, init_pose, self.points_pad,
+                                   has_gt_pose=pose is not None)
+            self.process_first_frame(first)
 
         from nerfloam_tpu.data.prefetch import PrefetchingLoader
 

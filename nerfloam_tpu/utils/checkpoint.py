@@ -58,8 +58,10 @@ def save_checkpoint(path: str, slam) -> None:
         "n_keyframes": len(st.keyframes),
         "kf_indices": [kf.index for kf in st.keyframes],
         "kf_n_points": [kf.n_points for kf in st.keyframes],
-        "current_keyframe": st.keyframes.index(st.current_keyframe)
-        if st.current_keyframe in st.keyframes else -1,
+        "current_keyframe": next(
+            (i for i, kf in enumerate(st.keyframes) if kf is st.current_keyframe),
+            -1,
+        ),
         "first_frame_id": st.first_frame_id,
         "frames_processed": st.frames_processed,
         "has_rel_pose": st.rel_pose is not None,
@@ -80,6 +82,7 @@ def load_checkpoint(path: str, slam) -> None:
         voxel_size=float(mc["voxel_size"]),
         feat_dim=int(mc["feat_dim"]),
         emb_dtype=mc["emb_dtype"],
+        active_cap=int(mc.get("active_cap", 0)),
     )
     st = slam.state
     st.map_cfg = slam.map_cfg

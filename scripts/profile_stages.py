@@ -1,8 +1,8 @@
 """Per-stage on-chip timing at the KITTI bench budget.
 
-Times each jitted stage of the pipeline separately (track_frame, ba_step,
-insert_points, recenter, and the render sub-stages) so optimization targets
-the real bottleneck. Run on the TPU: python scripts/profile_stages.py
+Times each jitted stage of the pipeline separately so optimization targets
+the real bottleneck. Sync via scalar value fetch (block_until_ready is
+unreliable on the axon tunnel). Run: python -u scripts/profile_stages.py
 """
 
 import os
@@ -27,19 +27,24 @@ from nerfloam_tpu.core.render import render_rays
 from nerfloam_tpu.data import get_dataset
 from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.ops import se3
-from nerfloam_tpu.ops.raycast import sample_along_rays
+from nerfloam_tpu.ops.raycast import sample_rays_cdf
 from nerfloam_tpu.utils.config import load_config
 
+SYNC_OVERHEAD_EST = 0.027  # measured fixed per-fetch tunnel latency (s)
 
-def timeit(name, fn, *args, n=5, **kw):
+
+def timeit(name, fn, *args, n=4, sync=None, **kw):
+    """fn must return something with a cheap scalar to fetch via sync(out)."""
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
+    _ = float(sync(out))
+    ts = []
+    for _i in range(n):
+        t0 = time.perf_counter()
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:>28s}: {dt*1e3:9.2f} ms")
+        _ = float(sync(out))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) - SYNC_OVERHEAD_EST
+    print(f"{name:>28s}: {dt*1e3:9.2f} ms", flush=True)
     return out
 
 
@@ -47,9 +52,8 @@ def main():
     cfg = load_config("configs/synthetic/synthetic_small.yaml", BENCH_OVERRIDES)
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)
-    print("grid_dim:", slam.map_cfg.grid_dim, "capacity:", slam.map_cfg.capacity)
-    print("rc_track:", slam.rc_track)
-    print("rc_map:", slam.rc_map)
+    print("grid_dim:", slam.map_cfg.grid_dim, "capacity:", slam.map_cfg.capacity,
+          "active_cap:", slam.map_cfg.active_cap, flush=True)
 
     frames = []
     for i in range(5):
@@ -59,14 +63,13 @@ def main():
     slam.process_first_frame(frames[0])
     for f in frames[1:3]:
         slam.process_frame(f)
-    jax.block_until_ready(slam.state.map_state.embeddings)
-    print("num_lat:", int(slam.state.map_state.num_lat))
+    print("num_lat:", int(slam.state.map_state.num_lat),
+          "n_active:", int(slam.state.map_state.n_active), flush=True)
 
     st = slam.state
     f = frames[3]
     key = jax.random.key(0)
 
-    # --- track_frame (25 iters x 2048 rays) ---
     init6 = jnp.asarray(st.last_frame.pose6)
     pts_j = jnp.asarray(f.points)
     cos_j = jnp.asarray(f.points_cos)
@@ -76,9 +79,9 @@ def main():
         "track_frame(25it)", tr_mod.track_frame,
         st.map_state, slam.map_cfg, slam.rc_track, slam.tp,
         st.decoder_params, st.decoder_meta, init6, pts_j, cos_j, val_j, lr, key,
+        sync=lambda r: r.loss,
     )
 
-    # --- ba_step current (25 iters, 1 frame x 2048 rays) ---
     tgt = [f]
     p, c, v, po, act = slam._pad_for_ba(tgt, slam.bp_current.n_frames, slam.points_pad)
     timeit(
@@ -88,25 +91,33 @@ def main():
         jnp.asarray(po), jnp.asarray(p), jnp.asarray(c), jnp.asarray(v),
         jnp.asarray(act), jnp.asarray(np.array([True])),
         jnp.asarray(True), jnp.asarray(slam.ba_lrs), key,
+        sync=lambda r: r.loss,
     )
 
-    # --- insert_points ---
     T = f.pose_matrix()
     world = jnp.asarray(f.points @ T[:3, :3].T + T[:3, 3], jnp.float32)
+    ins = jax.jit(vm.insert_points, static_argnames=("cfg",))
     timeit(
-        "insert_points(65k)",
-        jax.jit(vm.insert_points, static_argnames=("cfg",)),
+        "insert_points(65k)", ins,
         st.map_state, slam.map_cfg, world, jnp.asarray(f.valid),
+        sync=lambda s: s.num_lat,
     )
 
-    # --- recenter ---
+    rec = jax.jit(vm.recenter, static_argnames=("cfg",))
     timeit(
-        "recenter",
-        jax.jit(vm.recenter, static_argnames=("cfg",)),
+        "recenter", rec,
         st.map_state, slam.map_cfg, jnp.asarray(f.pose6[:3]),
+        sync=lambda s: s.region_min[0],
     )
 
-    # --- render sub-stages at track shapes (1 iteration) ---
+    ref = jax.jit(vm.refresh_active, static_argnames=("cfg",))
+    timeit(
+        "refresh_active", ref,
+        st.map_state, slam.map_cfg,
+        sync=lambda s: s.n_active,
+    )
+
+    # render sub-stages at track shapes (1 iteration)
     R = slam.tp.n_rays
     ridx = jnp.arange(R) % slam.points_pad
     rpts = pts_j[ridx]
@@ -116,10 +127,11 @@ def main():
     t_cap = tr_mod.t_cap_for(rpts, cos_j[ridx], 0.3, slam.rc_track.max_depth)
     rval = val_j[ridx]
 
-    sample_j = jax.jit(sample_along_rays, static_argnames=("map_cfg", "rc"))
+    sample_j = jax.jit(sample_rays_cdf, static_argnames=("map_cfg", "rc"))
     timeit(
-        "sample_along_rays(2048)", sample_j,
+        "sample_rays_cdf(2048)", sample_j,
         st.map_state, slam.map_cfg, slam.rc_track, origin, wdirs, t_cap, key,
+        sync=lambda r: r[0].sum(),
     )
 
     render_j = jax.jit(
@@ -130,6 +142,7 @@ def main():
         st.map_state, slam.map_cfg, slam.rc_track,
         st.decoder_params, st.decoder_meta,
         origin, wdirs, t_cap, rval, key, jnp.bfloat16,
+        sync=lambda r: r.sdf.sum(),
     )
 
     def render_grad(pose6):
@@ -142,7 +155,8 @@ def main():
         )
         return jnp.sum(jnp.where(out.valid_mask, out.sdf, 0.0) ** 2)
 
-    timeit("render+pose_grad(2048)", jax.jit(jax.grad(render_grad)), init6)
+    timeit("render+pose_grad(2048)", jax.jit(jax.grad(render_grad)), init6,
+           sync=lambda g: g[0])
 
 
 if __name__ == "__main__":
