@@ -38,6 +38,22 @@ class Frame:
     rel_pose: np.ndarray | None = None  # (4,4) tracker's frame-to-frame motion
     has_gt_pose: bool = False
     hit_ratio: float = 0.0
+    _dev: tuple | None = None  # cached device copies of (points, cos, valid)
+
+    def device_arrays(self):
+        """Device copies of the immutable point buffers, uploaded once.
+
+        The reference shipped every frame through pickle twice (tracker ->
+        queue -> mapper); here the tracker, BA, and voxel insertion all
+        reuse one upload (the host<->device link is the scarce resource).
+        """
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.points),
+                jnp.asarray(self.points_cos),
+                jnp.asarray(self.valid),
+            )
+        return self._dev
 
     @classmethod
     def from_raw(

@@ -43,9 +43,12 @@ from nerfloam_tpu.core.frame import Frame, matrix_from_pose6_np
 from nerfloam_tpu.map import mesher
 from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.models.decoder import init_decoder
+from nerfloam_tpu.ops import se3
 from nerfloam_tpu.ops.raycast import RaycastConfig
 from nerfloam_tpu.utils.config import Config, derive_static_shapes
 from nerfloam_tpu.utils.profiler import Profiler
+
+_transform_points_jit = jax.jit(se3.transform_points)
 
 
 @dataclass
@@ -117,6 +120,10 @@ class NerfLoamSLAM:
         self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)
         self.tp_first = tr_mod.TrackParams(num_iterations=n_iter * 5, **base_tp)
         self.track_lr = float(tspec["learning_rate"])
+        # device-resident constants (uploading a scalar per frame costs a
+        # host round trip on remote-device links)
+        self._lr_track_hi = jnp.asarray(self.track_lr * 2, jnp.float32)
+        self._lr_track_lo = jnp.asarray(self.track_lr / 3, jnp.float32)
 
         base_bp = dict(
             truncation=float(crit["sdf_truncation"]),
@@ -148,6 +155,7 @@ class NerfLoamSLAM:
             ],
             np.float32,
         )
+        self._ba_lrs_dev = jnp.asarray(self.ba_lrs)
         self.freeze_frame = int(mspec["freeze_frame"])
         self.keyframe_gap = float(mspec["keyframe_gap"])
         self.key_distance = float(mspec["key_distance"])
@@ -183,19 +191,23 @@ class NerfLoamSLAM:
         return k
 
     def _pad_for_ba(self, frames: list[Frame], n_frames: int, pad: int):
-        """Stack frames into static (W, P, ...) buffers."""
+        """Stack frames into static (W, P, ...) DEVICE buffers.
+
+        Point buffers come from each frame's one-time device upload
+        (Frame.device_arrays) and are stacked on device — the host link
+        only carries the small pose/flag block."""
         W = n_frames
-        P = pad
-        pts = np.zeros((W, P, 3), np.float32)
-        cos = np.ones((W, P), np.float32)
-        val = np.zeros((W, P), bool)
+        devs = [f.device_arrays() for f in frames[:W]]
+        for d in devs:
+            assert d[0].shape[0] == pad, (d[0].shape, pad)
+        while len(devs) < W:  # inactive slots reuse slot 0 (masked out)
+            devs.append(devs[0])
+        pts = jnp.stack([d[0] for d in devs])
+        cos = jnp.stack([d[1] for d in devs])
+        val = jnp.stack([d[2] for d in devs])
         poses = np.zeros((W, 6), np.float32)
         active = np.zeros((W,), bool)
         for i, f in enumerate(frames[:W]):
-            n = min(f.points.shape[0], P)
-            pts[i, :n] = f.points[:n]
-            cos[i, :n] = f.points_cos[:n]
-            val[i, :n] = f.valid[:n]
             poses[i] = f.pose6
             active[i] = True
         return pts, cos, val, poses, active
@@ -212,25 +224,41 @@ class NerfLoamSLAM:
             st = vm.refresh_active(st, self.map_cfg)
         self.state.map_state = st
 
-    def create_voxels(self, frame: Frame):
-        """World-transform + insert, with capacity-growth retry
-        (mapping.py:283-291 + the dynamic embedding growth it triggers)."""
-        T = frame.pose_matrix()
-        world = frame.points @ T[:3, :3].T + T[:3, 3]
-        pts = jnp.asarray(world, jnp.float32)
-        val = jnp.asarray(frame.valid)
-        while True:
-            new_state = vm.insert_points(self.state.map_state, self.map_cfg, pts, val)
-            if not vm.overflowed(new_state, self.map_cfg):
-                self.state.map_state = new_state
-                break
-            # grow x2 and retry (static capacity tier jump => re-jit)
+    def create_voxels(self, frame: Frame, pose_dev=None, check_overflow=True):
+        """World-transform (on device) + insert, with capacity-growth retry
+        (mapping.py:283-291 + the dynamic embedding growth it triggers).
+
+        ``pose_dev``: optional device (6,) pose (e.g. the BA-refined pose
+        still on device) so the transform needs no host round trip.
+        ``check_overflow=False`` defers the num_lat fetch to the caller's
+        end-of-frame sync (call :meth:`check_map_overflow` after)."""
+        pts_d, _, val = frame.device_arrays()
+        p6 = pose_dev if pose_dev is not None else jnp.asarray(frame.pose6)
+        pts = _transform_points_jit(p6, pts_d)
+        new_state = vm.insert_points(self.state.map_state, self.map_cfg, pts, val)
+        self.state.map_state = new_state
+        self._pending_insert = (pts, val)
+        if check_overflow:
+            self.check_map_overflow()
+
+    def check_map_overflow(self, num_lat: int | None = None):
+        """Grow x2 and re-run the last insert while over capacity.
+
+        ``num_lat``: pass the row count if already fetched (end-of-frame
+        combined sync) to avoid an extra device round trip."""
+        if num_lat is not None and num_lat <= self.map_cfg.capacity:
+            return
+        while vm.overflowed(self.state.map_state, self.map_cfg):
             new_cap = self.map_cfg.capacity * 2
             print(f"[map] capacity exhausted; growing to {new_cap}")
             self.state.map_state, self.map_cfg = vm.grow(
-                new_state, self.map_cfg, new_cap
+                self.state.map_state, self.map_cfg, new_cap
             )
             self.state.map_cfg = self.map_cfg
+            pts, val = self._pending_insert
+            self.state.map_state = vm.insert_points(
+                self.state.map_state, self.map_cfg, pts, val
+            )
 
     def insert_keyframe(self, frame: Frame):
         kf = frame.cropped(self.key_distance, self.kf_points_pad)
@@ -240,7 +268,12 @@ class NerfLoamSLAM:
         self.state.keyframes.append(kf)
 
     def do_mapping(self, tracked_frame: Frame | None, update_pose=True,
-                   update_decoder=True, selection_method="current"):
+                   update_decoder=True, selection_method="current",
+                   poses_dev=None, defer_pose_fetch=False):
+        """One BA step. ``poses_dev``: optional device (W,6) poses (e.g. the
+        tracker's output, never fetched); ``defer_pose_fetch=True`` leaves
+        the refined poses on device (returned in the BAResult) for the
+        caller's combined end-of-frame sync."""
         st = self.state
         if selection_method == "current":
             assert tracked_frame is not None
@@ -252,7 +285,7 @@ class NerfLoamSLAM:
             bp = self.bp_random
             pad = self.kf_points_pad
             if not targets:
-                return
+                return None, []
         else:
             raise NotImplementedError(selection_method)
 
@@ -264,20 +297,25 @@ class NerfLoamSLAM:
         res = ba_mod.ba_step(
             st.map_state, self.map_cfg, self.rc_map, bp,
             st.decoder_params, st.decoder_meta,
-            jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(cos),
-            jnp.asarray(val), jnp.asarray(active), jnp.asarray(pose_free),
+            poses_dev if poses_dev is not None else jnp.asarray(poses),
+            pts, cos, val,
+            jnp.asarray(active), jnp.asarray(pose_free),
             jnp.asarray(bool(update_decoder)),
-            jnp.asarray(self.ba_lrs), self._next_key(),
+            self._ba_lrs_dev, self._next_key(),
         )
         st.map_state = st.map_state._replace(
             embeddings=res.embeddings, packed=res.packed
         )
         st.decoder_params = res.decoder_params
-        new_poses = np.asarray(res.poses)
+        if not defer_pose_fetch:
+            self._apply_ba_poses(targets, pose_free, np.asarray(res.poses))
+        return res, [(targets, pose_free)]
+
+    @staticmethod
+    def _apply_ba_poses(targets, pose_free, new_poses: np.ndarray):
         for i, f in enumerate(targets):
             if pose_free[i]:
                 f.pose6 = new_poses[i]
-        return res.loss  # device scalar; fetch only if you need it
 
     def _select_random_window(self) -> list[Frame]:
         kfs = self.state.keyframes
@@ -295,7 +333,10 @@ class NerfLoamSLAM:
 
     # ---------------------------------------------------------------- tracker
 
-    def track(self, frame: Frame) -> Frame:
+    def track_dispatch(self, frame: Frame) -> tr_mod.TrackResult:
+        """Dispatch the jitted tracking loop; result stays on device.
+        The miss fallback to the constant-velocity pose lives inside the
+        jit (core/tracking.py), so no mid-frame host sync is needed."""
         st = self.state
         last = st.last_frame
         last_T = last.pose_matrix()
@@ -308,28 +349,31 @@ class NerfLoamSLAM:
         first = st.rel_pose is None
         tp = self.tp_first if first else self.tp
         # render_helpers.py:448-450 lr schedule
-        n_tracked = st.frames_processed
-        lr = self.track_lr * 2 if n_tracked < 2 else self.track_lr / 3
+        lr = self._lr_track_hi if st.frames_processed < 2 else self._lr_track_lo
 
-        res = tr_mod.track_frame(
+        pts_d, cos_d, val_d = frame.device_arrays()
+        return tr_mod.track_frame(
             st.map_state, self.map_cfg, self.rc_track, tp,
             st.decoder_params, st.decoder_meta,
-            jnp.asarray(init6), jnp.asarray(frame.points),
-            jnp.asarray(frame.points_cos), jnp.asarray(frame.valid),
-            jnp.asarray(lr, jnp.float32), self._next_key(),
+            jnp.asarray(init6), pts_d, cos_d, val_d, lr, self._next_key(),
         )
-        pose_np, hits_np = jax.device_get((res.pose, res.hit_count))
-        hit_count = int(hits_np)
-        if hit_count == 0:  # miss fallback (tracking.py:136-137)
-            from nerfloam_tpu.core.frame import pose6_from_matrix_np
-            frame.pose6 = pose6_from_matrix_np(const_T)
-        else:
-            frame.pose6 = np.asarray(pose_np)
-            frame.hit_ratio = hit_count / tp.n_rays
-        st.rel_pose = np.linalg.inv(last.pose_matrix()) @ frame.pose_matrix()
+
+    def track_finalize(self, frame: Frame, pose_np: np.ndarray, hits: int):
+        """Host bookkeeping once the tracked pose is fetched."""
+        st = self.state
+        frame.pose6 = np.asarray(pose_np, np.float32)
+        if hits > 0:
+            frame.hit_ratio = hits / self.tp.n_rays
+        st.rel_pose = np.linalg.inv(st.last_frame.pose_matrix()) @ frame.pose_matrix()
         frame.rel_pose = st.rel_pose
         st.last_frame = frame
         return frame
+
+    def track(self, frame: Frame) -> Frame:
+        """Synchronous track (first frame / standalone use)."""
+        res = self.track_dispatch(frame)
+        pose_np, hits_np = jax.device_get((res.pose, res.hit_count))
+        return self.track_finalize(frame, pose_np, int(hits_np))
 
     # --------------------------------------------------------------- pipeline
 
@@ -356,6 +400,7 @@ class NerfLoamSLAM:
             frame.index, frame.points, frame.points_cos, frame.valid,
             frame.n_points, frame.pose6.copy(), frame.rel_pose,
             frame.has_gt_pose, frame.hit_ratio,
+            frame._dev,  # point buffers are immutable: share the upload
         )
 
     def _record_trajectory(self, mapped_frame: Frame):
@@ -365,28 +410,63 @@ class NerfLoamSLAM:
         st.frame_poses.append((len(st.keyframes) - 1, rel))
 
     def process_frame(self, frame: Frame):
-        """One tracked frame through the full tracker->mapper interleave."""
+        """One tracked frame through the full tracker->mapper interleave.
+
+        The whole frame is dispatched asynchronously — track, recenter +
+        active refresh, BA, voxel insertion — and the host syncs ONCE at
+        the end (poses + hit count + row counts). Over the remote-device
+        link every sync costs ~27 ms, so this is a large fraction of the
+        frame budget; the reference paid the analogous cost as two pickle
+        hops per frame (share.py)."""
         st = self.state
+        track_res = None
         with self.prof.section("track"):
             if frame.has_gt_pose:
-                st.last_frame = frame
+                pass  # pose comes from the dataset
             else:
-                frame = self.track(frame)
+                track_res = self.track_dispatch(frame)
 
         mapper_frame = self._mapper_copy(frame)
         if self.remove_back:
+            # needs the tracked rel_pose direction: use the previous frame's
+            # (one-frame lag; the reference used the current one, but the
+            # motion direction changes slowly at scan rate)
             mapper_frame = mapper_frame.without_back_points(self.key_distance)
 
+        pose_dev = (
+            track_res.pose if track_res is not None else jnp.asarray(frame.pose6)
+        )
         with self.prof.section("recenter"):
-            self._recenter(mapper_frame.pose6[:3])
+            self._recenter(pose_dev[:3])
         with self.prof.section("do_mapping"):
             update_decoder = (
                 mapper_frame.index - st.first_frame_id
             ) < self.freeze_frame
-            self.do_mapping(mapper_frame, update_pose=True,
-                            update_decoder=update_decoder)
+            ba_res, ba_meta = self.do_mapping(
+                mapper_frame, update_pose=True, update_decoder=update_decoder,
+                poses_dev=pose_dev[None], defer_pose_fetch=True,
+            )
         with self.prof.section("create_voxels"):
-            self.create_voxels(mapper_frame)
+            self.create_voxels(
+                mapper_frame, pose_dev=ba_res.poses[0], check_overflow=False
+            )
+
+        with self.prof.section("sync"):
+            fetch = [ba_res.poses, st.map_state.num_lat]
+            if track_res is not None:
+                fetch += [track_res.pose, track_res.hit_count]
+            got = jax.device_get(fetch)
+            ba_poses_np, num_lat = got[0], int(got[1])
+            if track_res is not None:
+                self.track_finalize(frame, got[2], int(got[3]))
+                # the mapper copy keeps its isolation; sync its base pose
+                # to the tracked one before applying BA refinements
+                mapper_frame.pose6 = np.asarray(got[2], np.float32)
+            else:
+                st.last_frame = frame
+            for targets, pose_free in ba_meta:
+                self._apply_ba_poses(targets, pose_free, np.asarray(ba_poses_np))
+            self.check_map_overflow(num_lat)
 
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]

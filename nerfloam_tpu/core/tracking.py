@@ -123,4 +123,7 @@ def track_frame(
         jnp.zeros((), jnp.float32),
     )
     pose6, _, _, hits, loss = jax.lax.fori_loop(0, tp.num_iterations, body, init)
+    # total-miss fallback to the constant-velocity init (tracking.py:136-137),
+    # decided on device so the pipeline needs no mid-frame host sync
+    pose6 = jnp.where(hits > 0, pose6, init_pose)
     return TrackResult(pose6, hits, loss)

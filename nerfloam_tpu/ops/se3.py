@@ -12,9 +12,17 @@ same reason; ours is exact outside the switch point).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SMALL = 1e-8  # theta^2 switch point for series branches
+
+# Small geometry matmuls (3x3 rotations applied to points/dirs) must run at
+# true f32: the default matmul precision lowers f32 dots to bfloat16 passes
+# (on TPU MXU and, in this build, on CPU too), which injects ~1e-3 relative
+# error — enough to shift world points by >0.1 m at LiDAR range and corrupt
+# voxel assignment. Measured: ATE doubled before this was pinned.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def skew(w: jnp.ndarray) -> jnp.ndarray:
@@ -50,7 +58,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     A, B = _sinc_coeffs(theta2)
     wx = skew(w)
-    wx2 = wx @ wx
+    wx2 = jnp.matmul(wx, wx, precision=_HI)
     I = jnp.eye(3, dtype=w.dtype)
     return I + A[..., None, None] * wx + B[..., None, None] * wx2
 
@@ -137,17 +145,17 @@ def transform_points(p6: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply pose to points: R @ p + t. pts (..., N, 3) with pose6 (..., 6)."""
     R = pose_rotation(p6)
     t = pose_translation(p6)
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return jnp.matmul(pts, jnp.swapaxes(R, -1, -2), precision=_HI) + t[..., None, :]
 
 
 def rotate_dirs(p6: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Rotate direction vectors by the pose rotation (no translation)."""
     R = pose_rotation(p6)
-    return dirs @ jnp.swapaxes(R, -1, -2)
+    return jnp.matmul(dirs, jnp.swapaxes(R, -1, -2), precision=_HI)
 
 
 def compose_matrices(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    return A @ B
+    return jnp.matmul(A, B, precision=_HI)
 
 
 def invert_matrix(T: jnp.ndarray) -> jnp.ndarray:
@@ -157,6 +165,6 @@ def invert_matrix(T: jnp.ndarray) -> jnp.ndarray:
     Rt = jnp.swapaxes(R, -1, -2)
     out = jnp.zeros_like(T)
     out = out.at[..., :3, :3].set(Rt)
-    out = out.at[..., :3, 3].set(-(Rt @ t[..., None])[..., 0])
+    out = out.at[..., :3, 3].set(-jnp.matmul(Rt, t[..., None], precision=_HI)[..., 0])
     out = out.at[..., 3, 3].set(1.0)
     return out

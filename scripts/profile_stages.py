@@ -159,5 +159,30 @@ def main():
            sync=lambda g: g[0])
 
 
+def profile_full_frames():
+    """Wall-clock per process_frame after warmup (host+device, like bench)."""
+    cfg = load_config("configs/synthetic/synthetic_small.yaml", BENCH_OVERRIDES)
+    dataset = get_dataset(cfg)
+    slam = NerfLoamSLAM(cfg, dataset)
+    frames = []
+    for i in range(12):
+        idx, pts, cos, pose = dataset[i]
+        frames.append(Frame.from_raw(idx, pts, cos, None, slam.points_pad))
+    frames[0].pose6 = pose6_from_matrix_np(dataset.get_init_pose(0))
+    slam.process_first_frame(frames[0])
+    for f in frames[1:5]:
+        slam.process_frame(f)
+    _ = float(slam.state.map_state.n_active)
+    for f in frames[5:12]:
+        t0 = time.perf_counter()
+        slam.process_frame(f)
+        _ = float(slam.state.map_state.n_active)
+        print(f"frame {f.index}: {(time.perf_counter()-t0)*1e3:8.1f} ms", flush=True)
+    slam.prof.report()
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PROFILE_FULL"):
+        profile_full_frames()
+    else:
+        main()
