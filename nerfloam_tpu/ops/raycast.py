@@ -124,6 +124,97 @@ def sample_rays_cdf(
     )
 
 
+def ray_intersect(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    rc: RaycastConfig,
+    rays_o: jnp.ndarray,   # (R, 3) world origins
+    rays_d: jnp.ndarray,   # (R, 3) world unit directions
+    max_hits: int = 20,
+):
+    """Explicit ray/voxel intersection list — the reference's ray_intersect
+    contract (voxel_helpers.py:531-567 wrapping svo_intersect_point_kernel,
+    intersect_gpu.cu:193-272): up to ``max_hits`` hit voxels per ray, sorted
+    by entry depth, with exact AABB entry/exit depths; -1 / +inf padding.
+
+    TPU shape: candidates come from the fixed-shape coarse occupancy march
+    (no per-ray DFS stack); each first-touch slot emits one hit whose
+    [t_near, t_far] is the exact slab test against that voxel's AABB.
+    Returns (active_id (R,H), t_near (R,H), t_far (R,H), hit_mask (R,)).
+    """
+    R = rays_o.shape[0]
+    H = max_hits
+    cstep, S = _coarse_shape(rc)
+
+    t_c = (jnp.arange(S, dtype=jnp.float32) + 0.5) * cstep
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_c[None, :, None]
+    cells = jnp.floor(pts / rc.voxel_size).astype(jnp.int32)
+    lid = vm.lookup_active(state, map_cfg, cells)                 # (R, S)
+
+    # first slot of each contiguous same-voxel run = one hit
+    prev = jnp.concatenate([jnp.full((R, 1), -2, jnp.int32), lid[:, :-1]], axis=1)
+    new_hit = (lid >= 0) & (lid != prev)
+
+    # exact slab test against the hit voxel's AABB (RayAABBIntersection
+    # semantics, intersect_gpu.cu:77-142)
+    safe = jnp.clip(lid, 0)
+    vmin = state.active_coords[safe].astype(jnp.float32) * rc.voxel_size
+    vmax = vmin + rc.voxel_size
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    t0 = (vmin - rays_o[:, None, :]) * inv_d[:, None, :]
+    t1 = (vmax - rays_o[:, None, :]) * inv_d[:, None, :]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_near = jnp.maximum(t_near, 0.0)
+
+    # compact first-touch slots to H leading entries (already depth-ordered)
+    pos = jnp.cumsum(new_hit.astype(jnp.int32), axis=-1) - 1
+    keep = new_hit & (pos < H)
+    dest = jnp.where(keep, pos, H)
+    rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, S))
+    aid = jnp.full((R, H + 1), -1, jnp.int32).at[rows, dest].set(lid)
+    tn = jnp.full((R, H + 1), jnp.inf, jnp.float32).at[rows, dest].set(t_near)
+    tf = jnp.full((R, H + 1), jnp.inf, jnp.float32).at[rows, dest].set(t_far)
+    hit_mask = jnp.any(new_hit, axis=-1)
+    return aid[:, :H], tn[:, :H], tf[:, :H], hit_mask
+
+
+def ray_sample(
+    aid: jnp.ndarray,     # (R, H) hit voxel active ids (-1 pad)
+    t_near: jnp.ndarray,  # (R, H)
+    t_far: jnp.ndarray,   # (R, H)
+    n_samples: int,
+    key: jax.Array,
+    jitter: bool = True,
+):
+    """Inverse-CDF sampling over an explicit hit list — the reference's
+    ray_sample contract (voxel_helpers.py:571-598 wrapping
+    inverse_cdf_sampling_kernel, sample_gpu.cu:133-239): per-ray samples
+    distributed proportionally to each hit segment's length, stratified and
+    jittered. Returns (z (R, M), active_id (R, M), valid (R, M)).
+    """
+    R, H = aid.shape
+    M = n_samples
+    seg = jnp.where(aid >= 0, jnp.maximum(t_far - t_near, 0.0), 0.0)  # (R, H)
+    cdf = jnp.cumsum(seg, axis=-1)
+    total = cdf[:, -1]
+    if jitter:
+        u = jax.random.uniform(key, (R, M), minval=1e-4, maxval=1.0 - 1e-4)
+    else:
+        u = jnp.full((R, M), 0.5)
+    q = (jnp.arange(M, dtype=jnp.float32)[None, :] + u) / M * total[:, None]
+    j = jnp.sum((cdf[:, None, :] < q[:, :, None]).astype(jnp.int32), axis=-1)
+    j = jnp.clip(j, 0, H - 1)
+    cdf_j = jnp.take_along_axis(cdf, j, axis=-1)
+    seg_j = jnp.take_along_axis(seg, j, axis=-1)
+    frac = jnp.clip((q - (cdf_j - seg_j)) / jnp.where(seg_j > 0, seg_j, 1.0), 0, 1)
+    tn_j = jnp.take_along_axis(t_near, j, axis=-1)
+    z = tn_j + frac * seg_j
+    ids = jnp.take_along_axis(aid, j, axis=-1)
+    valid = (total[:, None] > 0) & (ids >= 0)
+    return jnp.where(valid, z, 0.0), jnp.where(valid, ids, -1), valid
+
+
 def sample_along_rays(
     state: vm.MapState,
     map_cfg: vm.MapConfig,

@@ -134,3 +134,46 @@ def test_cdf_sampler_miss_ray():
     )
     assert not bool(ray_mask[0])
     assert not np.asarray(valid).any()
+
+
+def test_ray_intersect_exact_bounds():
+    m = build_wall_map()
+    o, d, t_cap = rays_along_x(16)
+    from nerfloam_tpu.ops.raycast import ray_intersect, ray_sample
+
+    aid, tn, tf, hit = ray_intersect(m, MAP_CFG, RC, o, d, max_hits=20)
+    aid, tn, tf, hit = map(np.asarray, (aid, tn, tf, hit))
+    assert hit.all()
+    got = aid >= 0
+    # exact AABB bounds: entry/exit x of the hit voxel (rays go +x from x=0)
+    coords = np.asarray(m.active_coords)
+    for r in range(16):
+        for h in np.nonzero(got[r])[0]:
+            x0 = coords[aid[r, h], 0] * VS
+            assert abs(tn[r, h] - x0) < 1e-4, (tn[r, h], x0)
+            assert abs(tf[r, h] - (x0 + VS)) < 1e-4
+        # depth-sorted
+        tns = tn[r][got[r]]
+        assert (np.diff(tns) > 0).all()
+    # slabs are 2 + 4 voxels thick along x -> 6 hits per ray
+    assert (got.sum(axis=1) == 6).all()
+
+
+def test_ray_sample_from_hits_matches_segments():
+    m = build_wall_map()
+    o, d, t_cap = rays_along_x(8)
+    from nerfloam_tpu.ops.raycast import ray_intersect, ray_sample
+
+    aid, tn, tf, hit = ray_intersect(m, MAP_CFG, RC, o, d, max_hits=20)
+    z, ids, valid = ray_sample(aid, tn, tf, 64, jax.random.key(0))
+    z, ids, valid = map(np.asarray, (z, ids, valid))
+    assert valid.all()  # all rays fully covered by segments
+    x = z[valid]
+    in_slab = ((x >= 4.0 - 1e-4) & (x <= 5.0 + 1e-4)) | (
+        (x >= 8.0 - 1e-4) & (x <= 10.0 + 1e-4)
+    )
+    assert in_slab.all()
+    # ~2x samples in the 2x-long slab
+    n1 = ((x > 3.5) & (x < 5.5)).sum()
+    n2 = ((x > 7.5) & (x < 10.5)).sum()
+    assert 1.7 < n2 / n1 < 2.4
