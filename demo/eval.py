@@ -45,6 +45,11 @@ def main():
     m.add_argument("--gt-cloud", required=True)
     m.add_argument("--f-threshold", type=float, default=0.1)
     m.add_argument("--n-samples", type=int, default=200000)
+    m.add_argument(
+        "--crop-to-est", action="store_true",
+        help="crop the GT cloud to the est mesh bounding box + 0.5 m "
+             "(observed-region proxy; the reference protocol similarly "
+             "excludes unobserved GT via SHINE's cropping)")
     args = p.parse_args()
 
     if args.cmd == "traj":
@@ -56,12 +61,21 @@ def main():
         }
     else:
         verts, faces = read_ply(args.mesh)
-        gt_pts, _ = read_ply(args.gt_cloud)
+        if args.gt_cloud.endswith(".npy"):
+            gt_pts = np.load(args.gt_cloud)[:, :3].astype(np.float32)
+        elif args.gt_cloud.endswith(".ply"):
+            gt_pts, _ = read_ply(args.gt_cloud)
+        else:  # whitespace-separated xyz text
+            gt_pts = np.loadtxt(args.gt_cloud)[:, :3].astype(np.float32)
         samples = (
             ev.sample_mesh_surface(verts, faces, args.n_samples)
             if faces is not None and len(faces)
             else verts
         )
+        if args.crop_to_est:
+            lo, hi = verts.min(0) - 0.5, verts.max(0) + 0.5
+            keep = np.all((gt_pts >= lo) & (gt_pts <= hi), axis=1)
+            gt_pts = gt_pts[keep]
         out = ev.mesh_metrics(samples, gt_pts, f_threshold=args.f_threshold)
     print(json.dumps(out, indent=2))
 

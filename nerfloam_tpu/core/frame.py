@@ -20,11 +20,61 @@ import jax.numpy as jnp
 
 
 def pose6_from_matrix_np(T: np.ndarray) -> np.ndarray:
-    return np.asarray(se3.pose_from_matrix(jnp.asarray(T, jnp.float32)))
+    """Pure-numpy pose6 from a homogeneous matrix (quaternion log, same math
+    as ops/se3.log_so3). Host-side: a jnp round trip here costs a ~27 ms
+    device sync per call on remote-device links."""
+    R = np.asarray(T, np.float64)[:3, :3]
+    K = np.array(
+        [
+            1 + R[0, 0] + R[1, 1] + R[2, 2],
+            1 + R[0, 0] - R[1, 1] - R[2, 2],
+            1 - R[0, 0] + R[1, 1] - R[2, 2],
+            1 - R[0, 0] - R[1, 1] + R[2, 2],
+        ]
+    )
+    i = int(np.argmax(K))
+    s = 2.0 * np.sqrt(max(K[i], 1e-12))
+    r21, r02, r10 = R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]
+    s01, s02, s12 = R[0, 1] + R[1, 0], R[0, 2] + R[2, 0], R[1, 2] + R[2, 1]
+    if i == 0:
+        q = np.array([s / 4, r21 / s, r02 / s, r10 / s])
+    elif i == 1:
+        q = np.array([r21 / s, s / 4, s01 / s, s02 / s])
+    elif i == 2:
+        q = np.array([r02 / s, s01 / s, s / 4, s12 / s])
+    else:
+        q = np.array([r10 / s, s02 / s, s12 / s, s / 4])
+    if q[0] < 0:
+        q = -q
+    n = np.linalg.norm(q[1:])
+    theta = 2.0 * np.arctan2(n, q[0])
+    w = q[1:] * (2.0 if n < 1e-9 else theta / n)
+    out = np.empty(6, np.float32)
+    out[:3] = np.asarray(T, np.float64)[:3, 3]
+    out[3:] = w
+    return out
 
 
 def matrix_from_pose6_np(p6: np.ndarray) -> np.ndarray:
-    return np.asarray(se3.pose_matrix(jnp.asarray(p6, jnp.float32)))
+    """Pure-numpy Rodrigues (same math as ops/se3.exp_so3), host-side."""
+    p6 = np.asarray(p6, np.float64)
+    w = p6[3:6]
+    theta2 = float(w @ w)
+    if theta2 < 1e-12:
+        A = 1.0 - theta2 / 6.0
+        B = 0.5 - theta2 / 24.0
+    else:
+        theta = np.sqrt(theta2)
+        A = np.sin(theta) / theta
+        B = (1.0 - np.cos(theta)) / theta2
+    wx = np.array(
+        [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]], np.float64
+    )
+    R = np.eye(3) + A * wx + B * (wx @ wx)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.astype(np.float32)
+    T[:3, 3] = p6[:3].astype(np.float32)
+    return T
 
 
 @dataclass(eq=False)

@@ -49,6 +49,8 @@ from nerfloam_tpu.utils.config import Config, derive_static_shapes
 from nerfloam_tpu.utils.profiler import Profiler
 
 _transform_points_jit = jax.jit(se3.transform_points)
+_recenter_refresh_jit = jax.jit(vm.recenter_refresh, static_argnames=("cfg",))
+_insert_frame_jit = jax.jit(vm.insert_frame, static_argnames=("cfg",))
 
 
 @dataclass
@@ -214,15 +216,19 @@ class NerfLoamSLAM:
 
     # ----------------------------------------------------------------- mapper
 
-    def _recenter(self, center_world: np.ndarray, refresh: bool = True):
-        st = vm.recenter(
-            self.state.map_state, self.map_cfg, jnp.asarray(center_world, jnp.float32)
-        )
+    def _recenter(self, center_world, refresh: bool = True):
         if refresh:
-            # one packed-table rebuild per frame, amortized over the ~50
-            # tracker+mapper iterations that consume it
-            st = vm.refresh_active(st, self.map_cfg)
-        self.state.map_state = st
+            # one fused dispatch: recenter + packed-table rebuild, amortized
+            # over the ~50 tracker+mapper iterations that consume it
+            self.state.map_state = _recenter_refresh_jit(
+                self.state.map_state, self.map_cfg,
+                jnp.asarray(center_world, jnp.float32),
+            )
+        else:
+            self.state.map_state = vm.recenter(
+                self.state.map_state, self.map_cfg,
+                jnp.asarray(center_world, jnp.float32),
+            )
 
     def create_voxels(self, frame: Frame, pose_dev=None, check_overflow=True):
         """World-transform (on device) + insert, with capacity-growth retry
@@ -234,10 +240,10 @@ class NerfLoamSLAM:
         end-of-frame sync (call :meth:`check_map_overflow` after)."""
         pts_d, _, val = frame.device_arrays()
         p6 = pose_dev if pose_dev is not None else jnp.asarray(frame.pose6)
-        pts = _transform_points_jit(p6, pts_d)
-        new_state = vm.insert_points(self.state.map_state, self.map_cfg, pts, val)
-        self.state.map_state = new_state
-        self._pending_insert = (pts, val)
+        self.state.map_state = _insert_frame_jit(
+            self.state.map_state, self.map_cfg, pts_d, val, p6
+        )
+        self._pending_insert = (pts_d, val, p6)
         if check_overflow:
             self.check_map_overflow()
 
@@ -255,9 +261,9 @@ class NerfLoamSLAM:
                 self.state.map_state, self.map_cfg, new_cap
             )
             self.state.map_cfg = self.map_cfg
-            pts, val = self._pending_insert
-            self.state.map_state = vm.insert_points(
-                self.state.map_state, self.map_cfg, pts, val
+            pts, val, p6 = self._pending_insert
+            self.state.map_state = _insert_frame_jit(
+                self.state.map_state, self.map_cfg, pts, val, p6
             )
 
     def insert_keyframe(self, frame: Frame):

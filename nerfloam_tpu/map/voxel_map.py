@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerfloam_tpu.ops import keys as K
+from nerfloam_tpu.ops import se3
 from nerfloam_tpu.ops.interp import CORNER_OFFSETS
 
 
@@ -400,3 +401,22 @@ def surface_snapshot(state: MapState) -> dict:
         "corner_idx": np.asarray(state.corner_idx)[idx],
         "num_lat": n,
     }
+
+
+def recenter_refresh(state: MapState, cfg: MapConfig, center_world: jnp.ndarray) -> MapState:
+    """recenter + refresh_active fused into one dispatch (remote-device
+    links pay per-dispatch latency; these always run back to back)."""
+    return refresh_active(recenter(state, cfg, center_world), cfg)
+
+
+def insert_frame(
+    state: MapState,
+    cfg: MapConfig,
+    points_sensor: jnp.ndarray,  # (P, 3) sensor-frame points
+    valid: jnp.ndarray,          # (P,) bool
+    pose6: jnp.ndarray,          # (6,)
+) -> MapState:
+    """World-transform + insert fused into one dispatch (create_voxels,
+    mapping.py:283-291)."""
+    world = se3.transform_points(pose6, points_sensor)
+    return insert_points(state, cfg, world, valid)

@@ -76,3 +76,19 @@ def test_invert_matrix():
     T = se3.pose_matrix(p6)
     I = se3.invert_matrix(T) @ T
     np.testing.assert_allclose(np.asarray(I), np.eye(4), atol=1e-5)
+
+
+def test_host_pose_helpers_match_device():
+    from nerfloam_tpu.core.frame import matrix_from_pose6_np, pose6_from_matrix_np
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        p6 = rng.normal(size=6).astype(np.float32)
+        p6[3:] *= 0.8
+        T_host = matrix_from_pose6_np(p6)
+        T_dev = np.asarray(se3.pose_matrix(jnp.asarray(p6)))
+        np.testing.assert_allclose(T_host, T_dev, atol=2e-6)
+        back = pose6_from_matrix_np(T_host)
+        np.testing.assert_allclose(
+            matrix_from_pose6_np(back), T_host, atol=1e-5
+        )
