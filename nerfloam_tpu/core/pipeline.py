@@ -165,6 +165,10 @@ class NerfLoamSLAM:
         self.final_iter = bool(mspec.get("final_iter", False))
         self.mesh_res = int(mspec.get("mesh_res", 2))
         self.mesh_freq = int(cfg.debug_args.get("mesh_freq", -1))
+        # real periodic checkpointing (the reference read ckpt_freq but never
+        # called its checkpoint writer, loggers.py:36-49 / mapping.py:44)
+        self.ckpt_freq = int(cfg.debug_args.get("ckpt_freq", -1))
+        self.save_data_freq = int(cfg.debug_args.get("save_data_freq", -1))
         self.bootstrap_steps = int(cfg.tpu_specs["bootstrap_steps"])
 
         self.key = jax.random.key(int(cfg.tpu_specs["seed"]))
@@ -484,6 +488,27 @@ class NerfLoamSLAM:
 
         if self.mesh_freq > 0 and frame.index % self.mesh_freq == 0:
             self._mesh_interval(mapper_frame)
+        if (self.ckpt_freq > 0 and self.logger is not None
+                and frame.index % self.ckpt_freq == 0):
+            from nerfloam_tpu.utils.checkpoint import save_checkpoint
+            import os as _os
+            save_checkpoint(
+                _os.path.join(self.logger.dir, "ckpt", f"{frame.index:05d}"),
+                self,
+            )
+        if (self.save_data_freq > 0 and self.logger is not None
+                and frame.index % self.save_data_freq == 0):
+            # debug blob (mapping.py:148-149 / loggers.py:73-75 equivalent)
+            self.logger.log_debug_data(
+                {
+                    "frame_index": frame.index,
+                    "pose6": np.asarray(mapper_frame.pose6),
+                    "num_lat": int(st.map_state.num_lat),
+                    "n_active": int(st.map_state.n_active),
+                    "n_keyframes": len(st.keyframes),
+                },
+                frame.index,
+            )
         st.frames_processed += 1
 
     def _replay(self, n_calls: int):
