@@ -117,6 +117,7 @@ class NerfLoamSLAM:
             fs_weight=float(crit["fs_weight"]),
             sdf_weight=float(crit["sdf_weight"]),
             compute_dtype=self.compute_dtype,
+            resample_rays=bool(tpu.get("track_resample_rays", False)),
         )
         n_iter = int(tspec["num_iterations"])
         self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)

@@ -22,7 +22,11 @@ from nerfloam_tpu.core.losses import MAX_DEPTH
 from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.models.decoder import decoder_apply
 from nerfloam_tpu.ops.interp import interp_corner_features
-from nerfloam_tpu.ops.raycast import RaycastConfig, sample_rays_cdf
+from nerfloam_tpu.ops.raycast import (
+    RaycastConfig,
+    place_samples_cdf,
+    sample_rays_cdf,
+)
 
 
 class RenderOutput(NamedTuple):
@@ -73,10 +77,20 @@ def render_rays(
     ray_valid: jnp.ndarray,
     key: jax.Array,
     compute_dtype=jnp.float32,
+    occupancy=None,
 ) -> RenderOutput:
-    z, lid, valid, ray_mask = sample_rays_cdf(
-        state, map_cfg, rc, rays_o, rays_d, t_cap, key
-    )
+    """``occupancy``: optional cached (cdf, n_occ) from
+    ops.raycast.march_occupancy — skips the coarse march (used by
+    fixed-ray tracking, where the march is hoisted out of the Adam loop)."""
+    if occupancy is None:
+        z, lid, valid, ray_mask = sample_rays_cdf(
+            state, map_cfg, rc, rays_o, rays_d, t_cap, key
+        )
+    else:
+        cdf, n_occ = occupancy
+        z, lid, valid, ray_mask = place_samples_cdf(
+            state, map_cfg, rc, cdf, n_occ, rays_o, rays_d, t_cap, key
+        )
     ray_mask = ray_mask & ray_valid
     valid = valid & ray_valid[:, None]
 

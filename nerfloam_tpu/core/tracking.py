@@ -47,6 +47,11 @@ class TrackParams(NamedTuple):
     fs_weight: float
     sdf_weight: float
     compute_dtype: str = "float32"
+    resample_rays: bool = False  # True = reference-exact per-iteration
+    #   Gumbel resampling + fresh occupancy march (lidarFrame.py:54-57);
+    #   False = one ray batch + one march per step, jittered sample
+    #   placement per iteration — ~2x faster, statistically equivalent for
+    #   a 6-DoF problem with 2048 rays (validated on synthetic ATE)
 
 
 class TrackResult(NamedTuple):
@@ -86,16 +91,40 @@ def track_frame(
     opt = optax.scale_by_adam()
     opt_state = opt.init(init_pose)
 
+    if not tp.resample_rays:
+        # one ray batch + one occupancy march per tracking step, hoisted out
+        # of the Adam loop (pose moves millimeters within a step; the fine
+        # lookup inside render re-validates every sample)
+        key, k_fixed = jax.random.split(key)
+        ridx0, rvalid0 = sample_ray_indices(k_fixed, points_valid, tp.n_rays)
+        pts0 = points[ridx0]
+        pcos0 = points_cos[ridx0]
+        dirs0 = pts0 / (jnp.linalg.norm(pts0, axis=-1, keepdims=True) + 1e-8)
+        t_cap0 = t_cap_for(pts0, pcos0, tp.truncation, tp.max_depth)
+        from nerfloam_tpu.ops.raycast import march_occupancy
+
+        wdirs0 = se3.rotate_dirs(init_pose, dirs0)
+        origin0 = jnp.broadcast_to(se3.pose_translation(init_pose), wdirs0.shape)
+        occupancy = march_occupancy(
+            map_state, map_cfg, rc, origin0, wdirs0, t_cap0
+        )
+    else:
+        occupancy = None
+
     def loss_fn(pose6, ridx, rvalid, k):
-        pts = points[ridx]                       # (N, 3)
-        pcos = points_cos[ridx]
-        dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+        if tp.resample_rays:
+            pts = points[ridx]                   # (N, 3)
+            pcos = points_cos[ridx]
+            dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+            t_cap = t_cap_for(pts, pcos, tp.truncation, tp.max_depth)
+        else:
+            pts, pcos, dirs, t_cap = pts0, pcos0, dirs0, t_cap0
         wdirs = se3.rotate_dirs(pose6, dirs)     # (N, 3)
         origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
-        t_cap = t_cap_for(pts, pcos, tp.truncation, tp.max_depth)
         out = render_rays(
             map_state, map_cfg, rc, decoder_params, decoder_meta,
             origin, wdirs, t_cap, rvalid, k, compute_dtype,
+            occupancy=occupancy,
         )
         loss, _ = sdf_losses(
             out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
@@ -107,7 +136,10 @@ def track_frame(
     def body(i, carry):
         pose6, opt_state, key, _, _ = carry
         key, k_sample, k_render = jax.random.split(key, 3)
-        ridx, rvalid = sample_ray_indices(k_sample, points_valid, tp.n_rays)
+        if tp.resample_rays:
+            ridx, rvalid = sample_ray_indices(k_sample, points_valid, tp.n_rays)
+        else:
+            ridx, rvalid = ridx0, rvalid0
         (loss, hits), g = jax.value_and_grad(loss_fn, has_aux=True)(
             pose6, ridx, rvalid, k_render
         )

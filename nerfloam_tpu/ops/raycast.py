@@ -52,6 +52,68 @@ def _coarse_shape(rc: RaycastConfig) -> tuple[float, int]:
     return step, n
 
 
+def march_occupancy(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    rc: RaycastConfig,
+    rays_o: jnp.ndarray,   # (R, 3)
+    rays_d: jnp.ndarray,   # (R, 3)
+    t_cap: jnp.ndarray,    # (R,)
+):
+    """Pass 1 of the inverse-CDF sampler: coarse occupancy CDF per ray.
+    Split out so a tracking step can march once and re-place jittered
+    samples every iteration (the pose moves millimeters within one step;
+    the fine lookup in pass 2 re-validates every sample against the grid).
+    Returns (cdf (R, S), n_occ (R,))."""
+    cstep, S = _coarse_shape(rc)
+    t_c = (jnp.arange(S, dtype=jnp.float32) + 0.5) * cstep
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_c[None, :, None]
+    cells = jnp.floor(pts / rc.voxel_size).astype(jnp.int32)
+    lid = vm.lookup_active(state, map_cfg, cells)
+    occ = (lid >= 0) & (t_c[None, :] <= t_cap[:, None])
+    cdf = jnp.cumsum(occ.astype(jnp.float32), axis=-1)
+    return cdf, cdf[:, -1]
+
+
+def place_samples_cdf(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    rc: RaycastConfig,
+    cdf: jnp.ndarray,      # (R, S) from march_occupancy
+    n_occ: jnp.ndarray,    # (R,)
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_cap: jnp.ndarray,
+    key: jax.Array,
+    jitter: bool = True,
+):
+    """Pass 2: stratified quantile placement + exact fine-voxel lookup."""
+    R, S = cdf.shape
+    M = rc.n_samples
+    cstep, _ = _coarse_shape(rc)
+    ray_mask = n_occ > 0
+    if jitter:
+        u = jax.random.uniform(key, (R, M), minval=1e-4, maxval=1.0 - 1e-4)
+    else:
+        u = jnp.full((R, M), 0.5)
+    q = (jnp.arange(M, dtype=jnp.float32)[None, :] + u) / M * n_occ[:, None]
+    j = jnp.sum((cdf[:, None, :] < q[:, :, None]).astype(jnp.int32), axis=-1)
+    j = jnp.clip(j, 0, S - 1)
+    cdf_j = jnp.take_along_axis(cdf, j, axis=-1)
+    frac = jnp.clip(q - (cdf_j - 1.0), 0.0, 1.0)
+    z = (j.astype(jnp.float32) + frac) * cstep
+    fpts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    fcells = jnp.floor(fpts / rc.voxel_size).astype(jnp.int32)
+    flid = vm.lookup_active(state, map_cfg, fcells)
+    valid = ray_mask[:, None] & (flid >= 0) & (z <= t_cap[:, None])
+    return (
+        jnp.where(valid, z, 0.0),
+        jnp.where(valid, flid, -1),
+        valid,
+        ray_mask,
+    )
+
+
 def sample_rays_cdf(
     state: vm.MapState,
     map_cfg: vm.MapConfig,
@@ -83,44 +145,9 @@ def sample_rays_cdf(
     by construction. Returns the same contract:
       z (R, M) depths, lattice_id (R, M), valid (R, M), ray_mask (R,).
     """
-    R = rays_o.shape[0]
-    M = rc.n_samples
-    cstep, S = _coarse_shape(rc)
-
-    t_c = (jnp.arange(S, dtype=jnp.float32) + 0.5) * cstep        # (S,)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_c[None, :, None]
-    cells = jnp.floor(pts / rc.voxel_size).astype(jnp.int32)
-    lid = vm.lookup_active(state, map_cfg, cells)                  # (R, S)
-    occ = (lid >= 0) & (t_c[None, :] <= t_cap[:, None])
-    cdf = jnp.cumsum(occ.astype(jnp.float32), axis=-1)            # (R, S)
-    n_occ = cdf[:, -1]                                             # (R,)
-    ray_mask = n_occ > 0
-
-    if jitter:
-        u = jax.random.uniform(key, (R, M), minval=1e-4, maxval=1.0 - 1e-4)
-    else:
-        u = jnp.full((R, M), 0.5)
-    q = (jnp.arange(M, dtype=jnp.float32)[None, :] + u) / M * n_occ[:, None]
-    # first slot with cdf >= q, as a vectorized compare-count — one fused
-    # (R, M, S) VPU reduction; searchsorted lowers to per-ray binary-search
-    # gather chains on TPU (~10x slower at these shapes)
-    j = jnp.sum((cdf[:, None, :] < q[:, :, None]).astype(jnp.int32), axis=-1)
-    j = jnp.clip(j, 0, S - 1)                                      # (R, M)
-    # fractional position inside the chosen slot (cdf[j]-1 .. cdf[j])
-    cdf_j = jnp.take_along_axis(cdf, j, axis=-1)
-    frac = jnp.clip(q - (cdf_j - 1.0), 0.0, 1.0)
-    z = (j.astype(jnp.float32) + frac) * cstep                     # (R, M)
-
-    # exact voxel at the fine position (slot-boundary samples may cross)
-    fpts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    fcells = jnp.floor(fpts / rc.voxel_size).astype(jnp.int32)
-    flid = vm.lookup_active(state, map_cfg, fcells)                # (R, M)
-    valid = ray_mask[:, None] & (flid >= 0) & (z <= t_cap[:, None])
-    return (
-        jnp.where(valid, z, 0.0),
-        jnp.where(valid, flid, -1),
-        valid,
-        ray_mask,
+    cdf, n_occ = march_occupancy(state, map_cfg, rc, rays_o, rays_d, t_cap)
+    return place_samples_cdf(
+        state, map_cfg, rc, cdf, n_occ, rays_o, rays_d, t_cap, key, jitter
     )
 
 

@@ -106,6 +106,7 @@ DEFAULTS = {
         "active_cap": 1 << 18,       # per-frame active surface-voxel budget
         "touched_cap": 1 << 16,      # BA delta-reconciliation budget
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads
+        "track_resample_rays": False,    # reference-exact per-iter resampling
         "mesh_backend": "mt",        # "mt" (device marching tetrahedra)
         "seed": 777,
     },
