@@ -62,6 +62,11 @@ class BAParams(NamedTuple):
     compute_dtype: str = "float32"
     touched_cap: int = 1 << 16   # compaction budget for delta reconciliation
     exact_embedding_grads: bool = False  # reference-exact canonical path
+    ray_superset: int = 2        # superset factor for the hoisted occupancy
+    #   march: K = ray_superset*n_rays rays are Gumbel-drawn and marched
+    #   ONCE per BA step; each iteration trains on a random n_rays subset
+    #   with cached CDF rows. 0 = reference-exact per-iteration resampling
+    #   + fresh march (render_helpers.py:366-388)
 
 
 class BAResult(NamedTuple):
@@ -94,6 +99,36 @@ def ba_step(
     W = bp.n_frames
     A = vm.acap(map_cfg)
     opt = optax.scale_by_adam()
+    use_superset = bp.ray_superset > 0 and not bp.exact_embedding_grads
+
+    if use_superset:
+        # hoisted march: draw a K-ray superset per frame and march its
+        # occupancy ONCE (keyframe poses move sub-mm per step at lr_pose
+        # ~1e-3; pass 2 re-validates every sample against the grid)
+        K = bp.n_rays * bp.ray_superset
+        key, k_sup = jax.random.split(key)
+        sidx, svalid = jax.vmap(
+            lambda k, v: sample_ray_indices(k, v, K)
+        )(jax.random.split(k_sup, W), points_valid)         # (W, K)
+        sup_pts = jnp.take_along_axis(points, sidx[..., None], axis=1)
+        sup_cos = jnp.take_along_axis(points_cos, sidx, axis=1)
+        sup_dirs = sup_pts / (
+            jnp.linalg.norm(sup_pts, axis=-1, keepdims=True) + 1e-8
+        )
+        sup_tcap = t_cap_for(sup_pts, sup_cos, bp.truncation, bp.max_depth)
+        wdirs0 = jax.vmap(se3.rotate_dirs)(poses, sup_dirs)
+        origins0 = jnp.broadcast_to(
+            se3.pose_translation(poses)[:, None, :], wdirs0.shape
+        )
+        from nerfloam_tpu.ops.raycast import march_occupancy
+
+        flatK = lambda x: x.reshape((W * K,) + x.shape[2:])
+        sup_cdf, sup_nocc = march_occupancy(
+            map_state, map_cfg, rc, flatK(origins0), flatK(wdirs0),
+            flatK(sup_tcap),
+        )
+        sup_cdf = sup_cdf.reshape(W, K, -1)
+        sup_nocc = sup_nocc.reshape(W, K)
 
     def loss_fn(opt_params, ridx, rvalid, k):
         emb_like, dec, pos = opt_params
@@ -104,9 +139,22 @@ def ba_step(
             st = st._replace(packed=vm.pack_embeddings(st, map_cfg))
         else:
             st = map_state._replace(packed=emb_like)
-        pts = jnp.take_along_axis(points, ridx[..., None], axis=1)  # (W,N,3)
-        pcos = jnp.take_along_axis(points_cos, ridx, axis=1)        # (W,N)
-        dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+        if use_superset:
+            # ridx indexes the superset here
+            pts = jnp.take_along_axis(sup_pts, ridx[..., None], axis=1)
+            pcos = jnp.take_along_axis(sup_cos, ridx, axis=1)
+            dirs = jnp.take_along_axis(sup_dirs, ridx[..., None], axis=1)
+            occupancy = (
+                jnp.take_along_axis(sup_cdf, ridx[..., None], axis=1)
+                .reshape((W * bp.n_rays, -1)),
+                jnp.take_along_axis(sup_nocc, ridx, axis=1)
+                .reshape((W * bp.n_rays,)),
+            )
+        else:
+            pts = jnp.take_along_axis(points, ridx[..., None], axis=1)
+            pcos = jnp.take_along_axis(points_cos, ridx, axis=1)
+            dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+            occupancy = None
         wdirs = jax.vmap(se3.rotate_dirs)(pos, dirs)                # (W,N,3)
         origins = jnp.broadcast_to(
             se3.pose_translation(pos)[:, None, :], wdirs.shape
@@ -117,6 +165,7 @@ def ba_step(
         out = render_rays(
             st, map_cfg, rc, dec, decoder_meta,
             flat(origins), flat(wdirs), t_cap, flat(rvalid), k, compute_dtype,
+            occupancy=occupancy,
         )
         loss, _ = sdf_losses(
             out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
@@ -134,9 +183,14 @@ def ba_step(
     def body(i, carry):
         emb, dec, pos, opt_state, key, touched, _ = carry
         key, k_s, k_r = jax.random.split(key, 3)
-        ridx, rvalid = jax.vmap(
-            lambda k, v: sample_ray_indices(k, v, bp.n_rays)
-        )(jax.random.split(k_s, W), points_valid)
+        if use_superset:
+            K = bp.n_rays * bp.ray_superset
+            ridx = jax.random.randint(k_s, (W, bp.n_rays), 0, K)
+            rvalid = jnp.take_along_axis(svalid, ridx, axis=1)
+        else:
+            ridx, rvalid = jax.vmap(
+                lambda k, v: sample_ray_indices(k, v, bp.n_rays)
+            )(jax.random.split(k_s, W), points_valid)
         rvalid = rvalid & frame_active[:, None]
 
         loss, grads = jax.value_and_grad(loss_fn)((emb, dec, pos), ridx, rvalid, k_r)

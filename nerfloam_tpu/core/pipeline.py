@@ -136,6 +136,7 @@ class NerfLoamSLAM:
             compute_dtype=self.compute_dtype,
             touched_cap=int(tpu.get("touched_cap", 1 << 16)),
             exact_embedding_grads=bool(tpu.get("exact_embedding_grads", False)),
+            ray_superset=int(tpu.get("ba_ray_superset", 2)),
         )
         self.bp_current = ba_mod.BAParams(
             n_frames=1,

@@ -107,6 +107,7 @@ DEFAULTS = {
         "touched_cap": 1 << 16,      # BA delta-reconciliation budget
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads
         "track_resample_rays": False,    # reference-exact per-iter resampling
+        "ba_ray_superset": 2,            # BA hoisted-march superset (0=exact)
         "mesh_backend": "mt",        # "mt" (device marching tetrahedra)
         "seed": 777,
     },
