@@ -102,7 +102,10 @@ def main():
     jax.block_until_ready(slam.state.map_state.embeddings)
     t0 = time.perf_counter()
     n_timed = 0
-    for f in frames[WARMUP_FRAMES:]:
+    for i, f in enumerate(frames[WARMUP_FRAMES:]):
+        nxt = WARMUP_FRAMES + i + 1
+        if nxt < len(frames):
+            frames[nxt].device_arrays()  # overlap upload with device work
         slam.process_frame(f)
         n_timed += 1
     jax.block_until_ready(slam.state.map_state.embeddings)

@@ -593,10 +593,18 @@ class NerfLoamSLAM:
         from nerfloam_tpu.data.prefetch import PrefetchingLoader
 
         ids = [i for i in range(start + 1, end + 1) if i % stride == 0]
+        pending = None
         for frame_id, (idx, pts, cos, pose) in PrefetchingLoader(self.dataset, ids):
             frame = Frame.from_raw(
                 idx, pts, cos, pose, self.points_pad, has_gt_pose=pose is not None
             )
+            frame.device_arrays()  # start the upload while the previous
+            #                        frame's device work drains
+            if pending is not None:
+                with self.prof.section("frame"):
+                    self.process_frame(pending)
+            pending = frame
+        if pending is not None:
             with self.prof.section("frame"):
-                self.process_frame(frame)
+                self.process_frame(pending)
         return self.finalize()

@@ -279,50 +279,35 @@ def insert_points(
 
     vox = jnp.floor(points_world / cfg.voxel_size).astype(jnp.int32)  # (P,3)
 
-    # -- dedup observed voxels (sort by packed key, keep first occurrence) --
-    hi, lo = K.pack(vox)
-    hi = jnp.where(valid, hi, K.INVALID_HI)
-    lo = jnp.where(valid, lo, K.INVALID_LO)
-    order = K.lexsort_keys(hi, lo)
-    s_hi, s_lo = hi[order], lo[order]
-    s_vox = vox[order]
-    s_valid = valid[order]
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.bool_),
-            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
-        ]
-    )
+    # -- dedup observed voxels: representative election via one grid-sized
+    # scatter + gather-back (replaces two stable argsorts; any duplicate may
+    # win, we only need ONE candidate slot per cell) ------------------------
+    rel = vox - state.region_min
+    vflat, vox_inb = _flat_cell(rel, cfg.grid_dim)
+    ok = valid & vox_inb
+    slot = jnp.arange(P, dtype=jnp.int32)
+    winner = jnp.full((total,), -1, jnp.int32).at[
+        jnp.where(ok, vflat, total)
+    ].set(slot, mode="drop")
+    first = ok & (winner[jnp.clip(vflat, 0, total - 1)] == slot)
 
-    lid0 = lookup(state, cfg, s_vox)
+    lid0 = lookup(state, cfg, vox)
     already_surface = (lid0 >= 0) & state.is_surface[jnp.clip(lid0, 0)]
-    rel = s_vox - state.region_min
-    _, vox_inb = _flat_cell(rel, cfg.grid_dim)
-    cand = first & s_valid & vox_inb & ~already_surface  # (P,)
+    cand = first & ~already_surface  # (P,)
 
-    # -- allocate missing corner lattice points ----------------------------
+    # -- allocate missing corner lattice points (same trick on 8P corners) --
     offsets = jnp.asarray(CORNER_OFFSETS)  # (8, 3)
-    corners = s_vox[:, None, :] + offsets[None]  # (P, 8, 3)
-    chi, clo = K.pack(corners)
-    chi = jnp.where(cand[:, None], chi, K.INVALID_HI).reshape(-1)
-    clo = jnp.where(cand[:, None], clo, K.INVALID_LO).reshape(-1)
-    cflat = corners.reshape(-1, 3)  # (8P, 3)
-
-    corder = K.lexsort_keys(chi, clo)
-    cs_hi, cs_lo = chi[corder], clo[corder]
-    cs_coords = cflat[corder]
-    cfirst = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.bool_),
-            (cs_hi[1:] != cs_hi[:-1]) | (cs_lo[1:] != cs_lo[:-1]),
-        ]
-    )
-    cvalid = cs_hi != K.INVALID_HI
-
-    c_lid = lookup(state, cfg, cs_coords)
-    c_rel = cs_coords - state.region_min
+    corners = vox[:, None, :] + offsets[None]  # (P, 8, 3)
+    cflat3 = corners.reshape(-1, 3)            # (8P, 3)
+    c_rel = cflat3 - state.region_min
     c_flatidx, c_inb = _flat_cell(c_rel, cfg.grid_dim)
-    cnew = cfirst & cvalid & c_inb & (c_lid < 0)
+    c_lid = lookup(state, cfg, cflat3)
+    c_ok = jnp.repeat(cand, 8) & c_inb & (c_lid < 0)
+    cslot = jnp.arange(8 * P, dtype=jnp.int32)
+    cwinner = jnp.full((total,), -1, jnp.int32).at[
+        jnp.where(c_ok, c_flatidx, total)
+    ].set(cslot, mode="drop")
+    cnew = c_ok & (cwinner[jnp.clip(c_flatidx, 0, total - 1)] == cslot)
 
     ranks = jnp.cumsum(cnew.astype(jnp.int32)) - 1
     new_ids = state.num_lat + ranks  # valid where cnew
@@ -330,7 +315,7 @@ def insert_points(
 
     lat_coords = state.lat_coords.at[
         jnp.where(cnew & fits, new_ids, C)
-    ].set(cs_coords, mode="drop")
+    ].set(cflat3, mode="drop")
     grid = state.grid.at[
         jnp.where(cnew & fits, c_flatidx, total)
     ].set(jnp.where(fits, new_ids, -1), mode="drop")
