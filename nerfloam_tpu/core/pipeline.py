@@ -119,9 +119,23 @@ class NerfLoamSLAM:
             compute_dtype=self.compute_dtype,
             resample_rays=bool(tpu.get("track_resample_rays", False)),
         )
-        n_iter = int(tspec["num_iterations"])
-        self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)
-        self.tp_first = tr_mod.TrackParams(num_iterations=n_iter * 5, **base_tp)
+        self.track_method = str(tpu.get("track_method", "adam"))
+        if self.track_method not in ("adam", "gn"):
+            raise ValueError(
+                f"tpu_specs.track_method must be 'adam' or 'gn', "
+                f"got {self.track_method!r}"
+            )
+        self.const_vel_full = bool(tpu.get("const_vel_full", False))
+        if self.track_method == "gn":
+            n_iter = int(tpu.get("track_gn_iterations", 8))
+            self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)
+            self.tp_first = tr_mod.TrackParams(num_iterations=n_iter * 2, **base_tp)
+            self._track_fn = tr_mod.track_frame_gn
+        else:
+            n_iter = int(tspec["num_iterations"])
+            self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)
+            self.tp_first = tr_mod.TrackParams(num_iterations=n_iter * 5, **base_tp)
+            self._track_fn = tr_mod.track_frame
         self.track_lr = float(tspec["learning_rate"])
         # device-resident constants (uploading a scalar per frame costs a
         # host round trip on remote-device links)
@@ -354,9 +368,15 @@ class NerfLoamSLAM:
         last_T = last.pose_matrix()
         const_T = last_T.copy()
         if st.rel_pose is not None:
-            const_T[:3, 3] = (last_T @ st.rel_pose)[:3, 3]  # tracking.py:113
-        init6 = last.pose6.copy()
-        init6[:3] = const_T[:3, 3]
+            if self.const_vel_full:
+                # full SE(3) constant-velocity warm start (rotation too) —
+                # helps curved trajectories; the reference propagates only
+                # translation (tracking.py:113)
+                const_T = last_T @ st.rel_pose
+            else:
+                const_T[:3, 3] = (last_T @ st.rel_pose)[:3, 3]
+        from nerfloam_tpu.core.frame import pose6_from_matrix_np
+        init6 = pose6_from_matrix_np(const_T)
 
         first = st.rel_pose is None
         tp = self.tp_first if first else self.tp
@@ -364,7 +384,7 @@ class NerfLoamSLAM:
         lr = self._lr_track_hi if st.frames_processed < 2 else self._lr_track_lo
 
         pts_d, cos_d, val_d = frame.device_arrays()
-        return tr_mod.track_frame(
+        return self._track_fn(
             st.map_state, self.map_cfg, self.rc_track, tp,
             st.decoder_params, st.decoder_meta,
             jnp.asarray(init6), pts_d, cos_d, val_d, lr, self._next_key(),

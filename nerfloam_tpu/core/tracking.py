@@ -60,6 +60,146 @@ class TrackResult(NamedTuple):
     loss: jnp.ndarray        # () float32 last-iteration loss
 
 
+@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "tp", "decoder_meta"))
+def track_frame_gn(
+    map_state: MapState,
+    map_cfg: MapConfig,
+    rc: RaycastConfig,
+    tp: TrackParams,
+    decoder_params,
+    decoder_meta,
+    init_pose: jnp.ndarray,
+    points: jnp.ndarray,
+    points_cos: jnp.ndarray,
+    points_valid: jnp.ndarray,
+    learning_rate: jnp.ndarray,  # unused (kept for signature parity)
+    key: jax.Array,
+) -> TrackResult:
+    """Levenberg-Marquardt pose tracking on the truncated-SDF residuals.
+
+    TPU-first redesign of the reference's 25-step Adam loop
+    (render_helpers.py:428-514): the pose is 6-DoF and the loss is a
+    weighted least-squares over ~10^5 samples, so Gauss-Newton normal
+    equations (6x6, built by one einsum over per-sample Jacobians) converge
+    in a handful of iterations. Per iteration: one SDF forward + one
+    input-gradient backward — same cost as one Adam step, ~4x fewer steps.
+
+    Residuals mirror core.losses.sdf_losses exactly:
+      front samples:  r = sdf - 1            (free space -> +1)
+      band samples:   r = z cos + T sdf - d cos
+    with the same count-balancing weights. The pose Jacobian uses the
+    left-perturbation chain d xyz / d(dt, dtheta) = [I, -skew(xyz - t)].
+    """
+    compute_dtype = jnp.dtype(tp.compute_dtype)
+    from nerfloam_tpu.ops.raycast import march_occupancy, place_samples_cdf
+
+    key, k_fixed = jax.random.split(key)
+    ridx, rvalid = sample_ray_indices(k_fixed, points_valid, tp.n_rays)
+    pts = points[ridx]
+    pcos = points_cos[ridx]
+    dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
+    t_cap = t_cap_for(pts, pcos, tp.truncation, tp.max_depth)
+    d_meas = jnp.linalg.norm(pts, axis=-1) * pcos            # (N,)
+    depth_ok = (d_meas > 0.0) & (d_meas < tp.max_depth)
+
+    wdirs0 = se3.rotate_dirs(init_pose, dirs)
+    origin0 = jnp.broadcast_to(se3.pose_translation(init_pose), wdirs0.shape)
+    occupancy = march_occupancy(map_state, map_cfg, rc, origin0, wdirs0, t_cap)
+
+    T = tp.truncation
+
+    from nerfloam_tpu.core.render import field_at
+
+    def field_and_grad(xyz, flid):
+        """SDF value + spatial gradient: one forward + one backward."""
+        def f_sum(x):
+            return jnp.sum(
+                field_at(
+                    map_state, map_cfg, decoder_params, decoder_meta,
+                    x, flid, compute_dtype,
+                )
+            )
+        sdf_val = field_at(
+            map_state, map_cfg, decoder_params, decoder_meta, xyz, flid,
+            compute_dtype,
+        )
+        grad_val = jax.grad(f_sum)(xyz)
+        return sdf_val, grad_val
+
+    def _residual_parts(pose6, z, flid, vmask):
+        """sdf + residuals/weights at a pose, with FIXED sample depths z and
+        voxel ids (the Levenberg accept test re-evaluates the same samples)."""
+        wdirs = se3.rotate_dirs(pose6, dirs)
+        t_pos = se3.pose_translation(pose6)
+        origin = jnp.broadcast_to(t_pos, wdirs.shape)
+        xyz = origin[:, None, :] + wdirs[:, None, :] * z[..., None]
+        sdf = field_at(
+            map_state, map_cfg, decoder_params, decoder_meta, xyz, flid,
+            compute_dtype,
+        )
+        zc = z * pcos[:, None]
+        d = d_meas[:, None]
+        front = (zc < (d - T)) & vmask
+        band = vmask & ~front & ~(zc > (d + T)) & depth_ok[:, None]
+        num_fs = jnp.sum(front)
+        num_sdf = jnp.sum(band)
+        tot = jnp.maximum(num_fs + num_sdf, 1).astype(jnp.float32)
+        w_fs = tp.fs_weight * (1.0 - num_fs / tot)
+        w_sdf = tp.sdf_weight * (1.0 - num_sdf / tot)
+        r = jnp.where(front, sdf - 1.0, (zc + sdf * T) - d)
+        w = jnp.where(front, w_fs, w_sdf) * (front | band)
+        jscale = jnp.where(front, 1.0, T)
+        return xyz, t_pos, r, w, jscale
+
+    def body(i, carry):
+        pose6, lam, key, _, _ = carry
+        key, k_place = jax.random.split(key)
+        wdirs = se3.rotate_dirs(pose6, dirs)
+        origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
+        z, flid, vmask, ray_mask = place_samples_cdf(
+            map_state, map_cfg, rc, occupancy[0], occupancy[1],
+            origin, wdirs, t_cap, k_place,
+        )
+        ray_mask = ray_mask & rvalid
+        vmask = vmask & rvalid[:, None]
+
+        xyz, t_pos, r, w, jscale = _residual_parts(pose6, z, flid, vmask)
+        _, g = field_and_grad(xyz, flid)
+        loss_cur = jnp.sum(w * r * r)
+
+        q = xyz - t_pos                                       # (N, M, 3)
+        gj = g * jscale[..., None]
+        J = jnp.concatenate([gj, jnp.cross(q, gj)], axis=-1)  # (N, M, 6)
+        Jw = J * w[..., None]
+        H = jnp.einsum(
+            "nmi,nmj->ij", Jw, J, precision=jax.lax.Precision.HIGHEST
+        )
+        b = jnp.einsum(
+            "nmi,nm->i", Jw, r, precision=jax.lax.Precision.HIGHEST
+        )
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(6)
+        delta = -jnp.linalg.solve(Hd, b)
+        # trust region: clip translation to 0.5 m, rotation to 0.1 rad
+        dt = delta[:3]
+        dth = delta[3:]
+        dt = dt * jnp.minimum(1.0, 0.5 / (jnp.linalg.norm(dt) + 1e-12))
+        dth = dth * jnp.minimum(1.0, 0.1 / (jnp.linalg.norm(dth) + 1e-12))
+        R_new = se3.compose_matrices(se3.exp_so3(dth), se3.pose_rotation(pose6))
+        pose_try = jnp.concatenate([pose6[:3] + dt, se3.log_so3(R_new)])
+
+        # Fixed damping beats a same-sample accept/reject test here: the
+        # jittered truncated-SDF loss is noisy enough that rejections stall
+        # the small iteration budget (measured: accept-test LM diverged on
+        # 60-frame sequences where fixed damping tracked fine)
+        return pose_try, lam, key, jnp.sum(ray_mask), loss_cur
+
+    init = (init_pose, jnp.asarray(1e-2, jnp.float32), key,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
+    pose6, _, _, hits, loss = jax.lax.fori_loop(0, tp.num_iterations, body, init)
+    pose6 = jnp.where(hits > 0, pose6, init_pose)
+    return TrackResult(pose6, hits, loss)
+
+
 def t_cap_for(points: jnp.ndarray, cos: jnp.ndarray, truncation: float, max_depth: float):
     """Per-ray useful sampling range: measured distance + the cosine-widened
     truncation band (samples beyond are in the reference's back_mask and

@@ -108,6 +108,9 @@ DEFAULTS = {
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads
         "track_resample_rays": False,    # reference-exact per-iter resampling
         "ba_ray_superset": 2,            # BA hoisted-march superset (0=exact)
+        "track_method": "adam",          # "adam" (reference) | "gn" (LM solver)
+        "track_gn_iterations": 16,
+        "const_vel_full": False,         # SE(3) warm start incl. rotation
         "mesh_backend": "mt",        # "mt" (device marching tetrahedra)
         "seed": 777,
     },
