@@ -49,7 +49,8 @@ def field_at(
     """SDF at world points (..., 3) inside active surface voxels (...,).
 
     The feature path of get_features/get_embeddings (render_helpers.py:62-93)
-    without the CPU remap table. TPU layout: one contiguous (8*F)=128-lane
+    without the CPU remap table; also serves as the reference's eval_points
+    (render_helpers.py:157) — SDF evaluation at arbitrary world points. TPU layout: one contiguous (8*F)=128-lane
     packed row per sample from ``state.packed`` (built by refresh_active) —
     measured ~26x faster on v5e than 8 scattered F=16 corner-row gathers,
     and the BA scatter-add backward gets the same 128-lane win.

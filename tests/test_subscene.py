@@ -1,0 +1,41 @@
+"""Subscene partition runner: chained submaps over a synthetic sequence."""
+
+import numpy as np
+
+from nerfloam_tpu.data import get_dataset
+from nerfloam_tpu.parallel.subscene import SubsceneRunner
+from nerfloam_tpu.utils.config import load_config
+
+OVERRIDES = [
+    "data_specs.n_frames=12",
+    "data_specs.use_gt=False",
+    "tracker_specs.num_iterations=6",
+    "mapper_specs.num_iterations=6",
+    "tpu_specs.bootstrap_steps=2",
+    "tpu_specs.points_pad=8192",
+    "tpu_specs.kf_points_pad=8192",
+    "tpu_specs.map_capacity=65536",
+    "tpu_specs.active_cap=16384",
+    "tpu_specs.touched_cap=8192",
+    "tpu_specs.track_samples=24",
+    "tpu_specs.map_samples=16",
+]
+
+
+def test_subscene_runner_chains_submaps():
+    cfg = load_config("configs/synthetic/synthetic_small.yaml", OVERRIDES)
+    ds = get_dataset(cfg)
+    runner = SubsceneRunner(cfg, ds, frames_per_subscene=6)
+    poses, (verts, faces), n_sub = runner.run()
+
+    assert n_sub == 2  # 12 frames / 6 per subscene
+    assert len(poses) == 12
+    # continuity: the trajectory chains across the subscene boundary —
+    # consecutive poses stay within a few trajectory steps of each other
+    ts = np.stack([np.asarray(p)[:3, 3] for p in poses])
+    gaps = np.linalg.norm(np.diff(ts, axis=0), axis=1)
+    assert gaps.max() < 2.0, gaps
+    # concatenated mesh is non-trivial and face indices are in range
+    assert len(verts) > 100
+    assert len(faces) > 100
+    assert faces.max() < len(verts)
