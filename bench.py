@@ -60,6 +60,7 @@ BENCH_OVERRIDES = [
     "tpu_specs.bootstrap_steps=4",
     "tpu_specs.region_z_half=12.0",
     "tpu_specs.compute_dtype=bfloat16",
+    "tpu_specs.emb_dtype=bfloat16",
     "tpu_specs.active_cap=131072",
     "tpu_specs.touched_cap=65536",
 ]

@@ -128,7 +128,7 @@ def track_frame_gn(
 
     def _residual_parts(pose6, z, flid, vmask):
         """sdf + residuals/weights at a pose, with FIXED sample depths z and
-        voxel ids (the Levenberg accept test re-evaluates the same samples)."""
+        voxel ids."""
         wdirs = se3.rotate_dirs(pose6, dirs)
         t_pos = se3.pose_translation(pose6)
         origin = jnp.broadcast_to(t_pos, wdirs.shape)
