@@ -11,7 +11,7 @@ compiles once. Keyframes are box-cropped copies (mapping.py:266-280).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -29,7 +29,6 @@ sweeps the whole map.
 
 from __future__ import annotations
 
-import math
 import random as pyrandom
 from dataclasses import dataclass, field
 
@@ -39,7 +38,7 @@ import numpy as np
 
 from nerfloam_tpu.core import ba as ba_mod
 from nerfloam_tpu.core import tracking as tr_mod
-from nerfloam_tpu.core.frame import Frame, matrix_from_pose6_np
+from nerfloam_tpu.core.frame import Frame
 from nerfloam_tpu.map import mesher
 from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.models.decoder import init_decoder
@@ -48,7 +47,6 @@ from nerfloam_tpu.ops.raycast import RaycastConfig
 from nerfloam_tpu.utils.config import Config, derive_static_shapes
 from nerfloam_tpu.utils.profiler import Profiler
 
-_transform_points_jit = jax.jit(se3.transform_points)
 _recenter_refresh_jit = jax.jit(vm.recenter_refresh, static_argnames=("cfg",))
 _insert_frame_jit = jax.jit(vm.insert_frame, static_argnames=("cfg",))
 

@@ -31,11 +31,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerfloam_tpu.ops import keys as K
 from nerfloam_tpu.ops import se3
 from nerfloam_tpu.ops.interp import CORNER_OFFSETS
 

@@ -22,16 +22,12 @@ deployments.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nerfloam_tpu.core.losses import sdf_losses
-from nerfloam_tpu.core.render import render_rays
 from nerfloam_tpu.core.tracking import t_cap_for
 from nerfloam_tpu.map.voxel_map import MapConfig, MapState
 from nerfloam_tpu.ops import se3
