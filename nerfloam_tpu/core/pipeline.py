@@ -185,6 +185,7 @@ class NerfLoamSLAM:
         self.save_data_freq = int(cfg.debug_args.get("save_data_freq", -1))
         self.bootstrap_steps = int(cfg.tpu_specs["bootstrap_steps"])
 
+        self._mega_cache = {}
         self.key = jax.random.key(int(cfg.tpu_specs["seed"]))
         self.pyrng = pyrandom.Random(int(cfg.tpu_specs["seed"]))
 
@@ -439,6 +440,42 @@ class NerfLoamSLAM:
         rel = np.linalg.inv(ref.pose_matrix()) @ mapped_frame.pose_matrix()
         st.frame_poses.append((len(st.keyframes) - 1, rel))
 
+    def _megastep_for(self, tp):
+        """One jitted dispatch for the tracked-frame hot path:
+        track -> recenter+refresh_active -> BA(current frame) -> insert.
+        The inner functions are themselves jitted and inline here; fusing
+        them removes ~4 per-frame dispatch round trips over the host link.
+        Cached per (map_cfg, TrackParams) — capacity growth rebuilds it."""
+        cache_key = (self.map_cfg, tp)
+        hit = self._mega_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        map_cfg, rc_t, rc_m, bp = self.map_cfg, self.rc_track, self.rc_map, \
+            self.bp_current
+        dec_meta = self.state.decoder_meta
+        track_fn = self._track_fn
+
+        @jax.jit
+        def mega(map_state, decoder_params, init6, lr, pts, cos, val_t, val_m,
+                 pose_free, update_decoder, ba_lrs, k_track, k_ba):
+            tr = track_fn(
+                map_state, map_cfg, rc_t, tp, decoder_params, dec_meta,
+                init6, pts, cos, val_t, lr, k_track,
+            )
+            st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
+            ba = ba_mod.ba_step(
+                st, map_cfg, rc_m, bp, decoder_params, dec_meta,
+                tr.pose[None], pts[None], cos[None], val_m[None],
+                jnp.ones((1,), jnp.bool_), pose_free,
+                update_decoder, ba_lrs, k_ba,
+            )
+            st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
+            st = vm.insert_frame(st, map_cfg, pts, val_m, ba.poses[0])
+            return st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params
+
+        self._mega_cache[cache_key] = mega
+        return mega
+
     def process_frame(self, frame: Frame):
         """One tracked frame through the full tracker->mapper interleave.
 
@@ -449,54 +486,85 @@ class NerfLoamSLAM:
         frame budget; the reference paid the analogous cost as two pickle
         hops per frame (share.py)."""
         st = self.state
-        track_res = None
-        with self.prof.section("track"):
-            if frame.has_gt_pose:
-                pass  # pose comes from the dataset
-            else:
-                track_res = self.track_dispatch(frame)
-
         mapper_frame = self._mapper_copy(frame)
         if self.remove_back:
             # needs the tracked rel_pose direction: use the previous frame's
             # (one-frame lag; the reference used the current one, but the
             # motion direction changes slowly at scan rate)
             mapper_frame = mapper_frame.without_back_points(self.key_distance)
+        update_decoder = (
+            mapper_frame.index - st.first_frame_id
+        ) < self.freeze_frame
 
-        pose_dev = (
-            track_res.pose if track_res is not None else jnp.asarray(frame.pose6)
-        )
-        with self.prof.section("recenter"):
-            self._recenter(pose_dev[:3])
-        with self.prof.section("do_mapping"):
-            update_decoder = (
-                mapper_frame.index - st.first_frame_id
-            ) < self.freeze_frame
-            ba_res, ba_meta = self.do_mapping(
-                mapper_frame, update_pose=True, update_decoder=update_decoder,
-                poses_dev=pose_dev[None], defer_pose_fetch=True,
-            )
-        with self.prof.section("create_voxels"):
-            self.create_voxels(
-                mapper_frame, pose_dev=ba_res.poses[0], check_overflow=False
-            )
+        if not frame.has_gt_pose:
+            # hot path: ONE fused dispatch + ONE sync for the whole frame
+            with self.prof.section("megastep"):
+                last = st.last_frame
+                last_T = last.pose_matrix()
+                const_T = last_T.copy()
+                if st.rel_pose is not None:
+                    if self.const_vel_full:
+                        const_T = last_T @ st.rel_pose
+                    else:
+                        const_T[:3, 3] = (last_T @ st.rel_pose)[:3, 3]
+                from nerfloam_tpu.core.frame import pose6_from_matrix_np
 
-        with self.prof.section("sync"):
-            fetch = [ba_res.poses, st.map_state.num_lat]
-            if track_res is not None:
-                fetch += [track_res.pose, track_res.hit_count]
-            got = jax.device_get(fetch)
-            ba_poses_np, num_lat = got[0], int(got[1])
-            if track_res is not None:
-                self.track_finalize(frame, got[2], int(got[3]))
-                # the mapper copy keeps its isolation; sync its base pose
-                # to the tracked one before applying BA refinements
-                mapper_frame.pose6 = np.asarray(got[2], np.float32)
-            else:
+                init6 = pose6_from_matrix_np(const_T)
+                tp = self.tp_first if st.rel_pose is None else self.tp
+                lr = (
+                    self._lr_track_hi
+                    if st.frames_processed < 2
+                    else self._lr_track_lo
+                )
+                pts_d, cos_d, val_t = frame.device_arrays()
+                val_m = (
+                    mapper_frame.device_arrays()[2]
+                    if self.remove_back
+                    else val_t
+                )
+                pose_free = np.array([frame.index != st.first_frame_id])
+                mega = self._megastep_for(tp)
+                new_state, tpose, thits, ba_poses, dec_params = mega(
+                    st.map_state, st.decoder_params, jnp.asarray(init6), lr,
+                    pts_d, cos_d, val_t, val_m,
+                    jnp.asarray(pose_free), jnp.asarray(bool(update_decoder)),
+                    self._ba_lrs_dev, self._next_key(), self._next_key(),
+                )
+                st.map_state = new_state
+                st.decoder_params = dec_params
+                self._pending_insert = (pts_d, val_m, ba_poses[0])
+            with self.prof.section("sync"):
+                got = jax.device_get(
+                    (tpose, thits, ba_poses, new_state.num_lat)
+                )
+                self.track_finalize(frame, got[0], int(got[1]))
+                # mapper copy keeps its isolation; tracked base + BA refine
+                mapper_frame.pose6 = np.asarray(got[0], np.float32)
+                if pose_free[0]:
+                    mapper_frame.pose6 = np.asarray(got[2][0], np.float32)
+                self.check_map_overflow(int(got[3]))
+        else:
+            # GT-pose (mapping-only) path: unfused stages
+            pose_dev = jnp.asarray(frame.pose6)
+            with self.prof.section("recenter"):
+                self._recenter(pose_dev[:3])
+            with self.prof.section("do_mapping"):
+                ba_res, ba_meta = self.do_mapping(
+                    mapper_frame, update_pose=True,
+                    update_decoder=update_decoder,
+                    poses_dev=pose_dev[None], defer_pose_fetch=True,
+                )
+            with self.prof.section("create_voxels"):
+                self.create_voxels(
+                    mapper_frame, pose_dev=ba_res.poses[0],
+                    check_overflow=False,
+                )
+            with self.prof.section("sync"):
+                got = jax.device_get([ba_res.poses, st.map_state.num_lat])
                 st.last_frame = frame
-            for targets, pose_free in ba_meta:
-                self._apply_ba_poses(targets, pose_free, np.asarray(ba_poses_np))
-            self.check_map_overflow(num_lat)
+                for targets, pose_free in ba_meta:
+                    self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
+                self.check_map_overflow(int(got[1]))
 
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]
