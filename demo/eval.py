@@ -50,6 +50,12 @@ def main():
         help="crop the GT cloud to the est mesh bounding box + 0.5 m "
              "(observed-region proxy; the reference protocol similarly "
              "excludes unobserved GT via SHINE's cropping)")
+    m.add_argument(
+        "--clean-with", default=None,
+        help="observed point cloud (ply/npy/txt) — cull mesh faces with no "
+             "vertex within --clean-radius of it before sampling "
+             "(reference clean_mesh, mesh_util.py:90-102)")
+    m.add_argument("--clean-radius", type=float, default=0.15)
     args = p.parse_args()
 
     if args.cmd == "traj":
@@ -67,6 +73,18 @@ def main():
             gt_pts, _ = read_ply(args.gt_cloud)
         else:  # whitespace-separated xyz text
             gt_pts = np.loadtxt(args.gt_cloud)[:, :3].astype(np.float32)
+        if args.clean_with:
+            from nerfloam_tpu.map.mesher import clean_mesh, downsample_points
+
+            if args.clean_with.endswith(".npy"):
+                obs = np.load(args.clean_with)[:, :3].astype(np.float32)
+            elif args.clean_with.endswith(".ply"):
+                obs, _ = read_ply(args.clean_with)
+            else:
+                obs = np.loadtxt(args.clean_with)[:, :3].astype(np.float32)
+            faces = clean_mesh(
+                verts, faces, downsample_points(obs), args.clean_radius
+            )
         samples = (
             ev.sample_mesh_surface(verts, faces, args.n_samples)
             if faces is not None and len(faces)

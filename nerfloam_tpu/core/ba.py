@@ -23,11 +23,14 @@ optimizes the *packed* per-voxel corner table (A, 8F=128 lanes) built by
 refresh_active — its gather AND scatter run ~25x faster because a 512 B row
 is a full 128-lane vector — and folds the per-copy deltas back into the
 canonical shared-corner table once per BA step (voxel_map.reconcile_packed):
-a lattice corner shared by k voxels receives the sum of its k copies'
-deltas. Within one BA step copies of a shared corner may diverge by one
-Adam-step's worth of difference; ``exact_embedding_grads=True`` keeps the
-reference's exact single-parameter-per-corner chain (slow; tests/quality
-A/B use it to bound the approximation).
+a lattice corner shared by k touched voxels receives the multiplicity-mean
+(default) or sum of its k copies' deltas. This is an approximation of the
+reference's one-Adam-chain-per-corner update, not an equivalence: within one
+BA step copies of a shared corner may diverge, and Adam's per-parameter
+normalization means neither combining rule reproduces the exact chain.
+``exact_embedding_grads=True`` keeps the reference's exact
+single-parameter-per-corner gradients (slow; tests/quality A/B use it to
+bound the approximation).
 """
 
 from __future__ import annotations
@@ -67,6 +70,8 @@ class BAParams(NamedTuple):
     #   ONCE per BA step; each iteration trains on a random n_rays subset
     #   with cached CDF rows. 0 = reference-exact per-iteration resampling
     #   + fresh march (render_helpers.py:366-388)
+    reconcile_mode: str = "mean"  # shared-corner delta combining (see
+    #   voxel_map.reconcile_packed): "mean" | "sum"
 
 
 class BAResult(NamedTuple):
@@ -75,6 +80,8 @@ class BAResult(NamedTuple):
     decoder_params: object
     poses: jnp.ndarray       # (W, 6)
     loss: jnp.ndarray
+    touched_count: jnp.ndarray  # () int32 — voxels touched this BA step;
+    #   > touched_cap means reconciliation dropped deltas (host warns/grows)
 
 
 @functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))
@@ -217,10 +224,17 @@ def ba_step(
         0, bp.num_iterations, body, init
     )
 
+    touched_count = jnp.sum(touched, dtype=jnp.int32)
     if bp.exact_embedding_grads:
-        final_state = map_state._replace(embeddings=emb)
-        packed = vm.pack_embeddings(final_state, map_cfg)
-        return BAResult(emb, packed, dec, pos, loss)
-
-    new_emb = vm.reconcile_packed(map_state, map_cfg, emb, touched, bp.touched_cap)
-    return BAResult(new_emb, emb, dec, pos, loss)
+        new_emb = emb
+    else:
+        new_emb = vm.reconcile_packed(
+            map_state, map_cfg, emb, touched, bp.touched_cap, bp.reconcile_mode
+        )
+    # Re-derive the packed table from the reconciled canonical embeddings:
+    # between BA steps a shared corner has ONE value, exactly like the
+    # reference's one-parameter-per-corner store (copies can only diverge
+    # WITHIN a step). This also keeps every checkpoint/resume bit-stable —
+    # the packed table is always f(embeddings) at frame boundaries.
+    packed = vm.pack_embeddings(map_state._replace(embeddings=new_emb), map_cfg)
+    return BAResult(new_emb, packed, dec, pos, loss, touched_count)

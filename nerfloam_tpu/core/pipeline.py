@@ -92,12 +92,17 @@ class NerfLoamSLAM:
             active_cap=min(int(tpu.get("active_cap", 1 << 18)), int(tpu["map_capacity"])),
         )
 
+        # occupancy-march spacing: coarse_factor * voxel_size (1.0 default;
+        # 0.5 also catches voxels crossed obliquely by short path segments —
+        # quality/perf A/B in docs/PERF.md)
+        coarse = float(tpu.get("coarse_factor", 1.0)) * shapes["voxel_size"]
         self.rc_track = RaycastConfig(
             step_world=shapes["track_step_world"],
             n_slots=shapes["track_n_slots"],
             n_samples=int(tpu["track_samples"]),
             voxel_size=shapes["voxel_size"],
             max_depth=shapes["max_depth"],
+            coarse_step=coarse,
         )
         self.rc_map = RaycastConfig(
             step_world=shapes["map_step_world"],
@@ -105,6 +110,7 @@ class NerfLoamSLAM:
             n_samples=int(tpu["map_samples"]),
             voxel_size=shapes["voxel_size"],
             max_depth=shapes["max_depth"],
+            coarse_step=coarse,
         )
 
         tspec, mspec, crit = cfg.tracker_specs, cfg.mapper_specs, cfg.criteria
@@ -140,15 +146,19 @@ class NerfLoamSLAM:
         self._lr_track_hi = jnp.asarray(self.track_lr * 2, jnp.float32)
         self._lr_track_lo = jnp.asarray(self.track_lr / 3, jnp.float32)
 
+        tc = int(tpu.get("touched_cap", 0))
+        if tc <= 0:  # 0 -> active_cap: reconciliation can never drop deltas
+            tc = vm.acap(self.map_cfg)
         base_bp = dict(
             truncation=float(crit["sdf_truncation"]),
             max_depth=shapes["max_depth"],
             fs_weight=float(crit["fs_weight"]),
             sdf_weight=float(crit["sdf_weight"]),
             compute_dtype=self.compute_dtype,
-            touched_cap=int(tpu.get("touched_cap", 1 << 16)),
+            touched_cap=min(tc, vm.acap(self.map_cfg)),
             exact_embedding_grads=bool(tpu.get("exact_embedding_grads", False)),
             ray_superset=int(tpu.get("ba_ray_superset", 2)),
+            reconcile_mode=str(tpu.get("reconcile_mode", "mean")),
         )
         self.bp_current = ba_mod.BAParams(
             n_frames=1,
@@ -284,6 +294,51 @@ class NerfLoamSLAM:
             self.state.map_state = _insert_frame_jit(
                 self.state.map_state, self.map_cfg, pts, val, p6
             )
+
+    def check_active_overflow(self, n_active: int):
+        """Grow active_cap when the active surface set outgrew it (the
+        reference's octree had no such cap — octree.cpp:51-111 allocates
+        unboundedly — so silent truncation would be a parity break: voxels
+        past the cap would stop rendering). Costs one re-jit per growth."""
+        if n_active <= vm.acap(self.map_cfg):
+            return
+        new_acap = vm.acap(self.map_cfg)
+        while n_active > new_acap:
+            new_acap *= 2
+        new_acap = min(new_acap, self.map_cfg.capacity)
+        print(
+            f"[map] active set overflow ({n_active} > "
+            f"{vm.acap(self.map_cfg)}); growing active_cap to {new_acap}"
+        )
+        self.map_cfg = self.map_cfg._replace(active_cap=new_acap)
+        self.state.map_cfg = self.map_cfg
+        # touched_cap tracks active_cap so reconciliation stays lossless
+        self.bp_current = self.bp_current._replace(
+            touched_cap=min(self.bp_current.touched_cap * 2, new_acap)
+        )
+        self.bp_random = self.bp_random._replace(
+            touched_cap=min(self.bp_random.touched_cap * 2, new_acap)
+        )
+        self._mega_cache.clear()  # bp_current is baked into the megastep
+        self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
+
+    def check_touched_overflow(self, touched_count: int):
+        """Warn + grow when a BA step touched more voxels than touched_cap
+        (this frame's over-cap deltas were dropped; later frames won't be)."""
+        cap = self.bp_current.touched_cap
+        if touched_count <= cap:
+            return
+        new_cap = cap
+        while touched_count > new_cap:
+            new_cap *= 2
+        new_cap = min(new_cap, vm.acap(self.map_cfg))
+        print(
+            f"[map] BA touched {touched_count} voxels > touched_cap {cap}: "
+            f"this step's over-cap deltas were dropped; growing to {new_cap}"
+        )
+        self.bp_current = self.bp_current._replace(touched_cap=new_cap)
+        self.bp_random = self.bp_random._replace(touched_cap=new_cap)
+        self._mega_cache.clear()
 
     def insert_keyframe(self, frame: Frame):
         kf = frame.cropped(self.key_distance, self.kf_points_pad)
@@ -471,7 +526,8 @@ class NerfLoamSLAM:
             )
             st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
             st = vm.insert_frame(st, map_cfg, pts, val_m, ba.poses[0])
-            return st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params
+            return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
+                    ba.touched_count)
 
         self._mega_cache[cache_key] = mega
         return mega
@@ -524,7 +580,8 @@ class NerfLoamSLAM:
                 )
                 pose_free = np.array([frame.index != st.first_frame_id])
                 mega = self._megastep_for(tp)
-                new_state, tpose, thits, ba_poses, dec_params = mega(
+                (new_state, tpose, thits, ba_poses, dec_params,
+                 touched_count) = mega(
                     st.map_state, st.decoder_params, jnp.asarray(init6), lr,
                     pts_d, cos_d, val_t, val_m,
                     jnp.asarray(pose_free), jnp.asarray(bool(update_decoder)),
@@ -535,7 +592,8 @@ class NerfLoamSLAM:
                 self._pending_insert = (pts_d, val_m, ba_poses[0])
             with self.prof.section("sync"):
                 got = jax.device_get(
-                    (tpose, thits, ba_poses, new_state.num_lat)
+                    (tpose, thits, ba_poses, new_state.num_lat,
+                     new_state.n_active, touched_count)
                 )
                 self.track_finalize(frame, got[0], int(got[1]))
                 # mapper copy keeps its isolation; tracked base + BA refine
@@ -543,6 +601,8 @@ class NerfLoamSLAM:
                 if pose_free[0]:
                     mapper_frame.pose6 = np.asarray(got[2][0], np.float32)
                 self.check_map_overflow(int(got[3]))
+                self.check_active_overflow(int(got[4]))
+                self.check_touched_overflow(int(got[5]))
         else:
             # GT-pose (mapping-only) path: unfused stages
             pose_dev = jnp.asarray(frame.pose6)
@@ -560,11 +620,26 @@ class NerfLoamSLAM:
                     check_overflow=False,
                 )
             with self.prof.section("sync"):
-                got = jax.device_get([ba_res.poses, st.map_state.num_lat])
+                got = jax.device_get(
+                    [ba_res.poses, st.map_state.num_lat,
+                     st.map_state.n_active, ba_res.touched_count]
+                )
+                # maintain tracker motion state on the GT path too so
+                # remove_back direction and a later switch to tracked mode
+                # use fresh motion (reference keeps rel_pose per frame,
+                # tracking.py:142)
+                st.rel_pose = (
+                    np.linalg.inv(st.last_frame.pose_matrix())
+                    @ frame.pose_matrix()
+                )
+                frame.rel_pose = st.rel_pose
+                mapper_frame.rel_pose = st.rel_pose
                 st.last_frame = frame
                 for targets, pose_free in ba_meta:
                     self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
                 self.check_map_overflow(int(got[1]))
+                self.check_active_overflow(int(got[2]))
+                self.check_touched_overflow(int(got[3]))
 
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]
@@ -631,12 +706,36 @@ class NerfLoamSLAM:
         st.frame_poses = []
         return st.final_poses
 
-    def extract_mesh(self, res: int | None = None):
-        return mesher.extract_mesh(
+    def observed_points(self, downsample: float = 0.05) -> np.ndarray:
+        """World-frame observed surface points from the keyframe clouds
+        (the culling source for clean_mesh; the reference used every 5th
+        raw frame's depth points, mesh_util.py:46-77 — keyframes are this
+        framework's retained equivalent)."""
+        clouds = []
+        for kf in self.state.keyframes:
+            pts = kf.points[kf.valid]
+            T = kf.pose_matrix()
+            clouds.append(pts @ T[:3, :3].T + T[:3, 3])
+        if not clouds:
+            return np.zeros((0, 3), np.float32)
+        return mesher.downsample_points(
+            np.concatenate(clouds).astype(np.float32), downsample
+        )
+
+    def extract_mesh(self, res: int | None = None, clean: bool | None = None):
+        v, f = mesher.extract_mesh(
             self.state.map_state, self.map_cfg,
             self.state.decoder_params, self.state.decoder_meta,
             res=res or self.mesh_res, compute_dtype=self.compute_dtype,
         )
+        if clean is None:
+            clean = bool(self.cfg.mapper_specs.get("clean_mesh", False))
+        if clean and len(f):
+            f = mesher.clean_mesh(
+                v, f, self.observed_points(),
+                radius=self.map_cfg.voxel_size * 0.5,
+            )
+        return v, f
 
     def finalize(self):
         """End-of-sequence: optional no-replay mesh, final_iter replay,

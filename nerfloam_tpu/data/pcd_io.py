@@ -1,13 +1,60 @@
-"""Minimal PCD reader (ASCII and binary), pure numpy.
+"""Minimal PCD reader (ASCII, binary, binary_compressed), pure numpy.
 
 The reference reads Newer College .pcd files through open3d
 (/root/reference/src/dataset/ncd.py:50-52); open3d is not a dependency of
-this framework, so we parse the PCD v0.7 format directly.
+this framework, so we parse the PCD v0.7 format directly — including the
+``binary_compressed`` mode common in real NCD dumps (LZF-compressed,
+field-major layout; see pcl/io/lzf.cpp for the stream format).
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Pure-python libLZF decompression (the PCL PCD codec).
+
+    Stream grammar: a control byte < 32 starts a literal run of (ctrl + 1)
+    bytes; otherwise it encodes a back-reference of length (ctrl >> 5) + 2
+    (plus an extension byte when the 3-bit length field saturates at 7) at
+    distance (((ctrl & 0x1f) << 8) | next_byte) + 1.
+    """
+    out = bytearray(expected_size)
+    i, o, n = 0, 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run
+            run = ctrl + 1
+            out[o : o + run] = data[i : i + run]
+            i += run
+            o += run
+        else:  # back reference into the output window
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            length += 2
+            ref = o - (((ctrl & 0x1F) << 8) | data[i]) - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("corrupt LZF stream: reference before start")
+            if o - ref >= length:  # non-overlapping: bulk copy
+                out[o : o + length] = out[ref : ref + length]
+                o += length
+            else:  # overlapping: byte-by-byte (RLE-style)
+                for _ in range(length):
+                    out[o] = out[ref]
+                    o += 1
+                    ref += 1
+    if o != expected_size:
+        raise ValueError(
+            f"corrupt LZF stream: decompressed {o} bytes, expected {expected_size}"
+        )
+    return bytes(out)
 
 
 def read_pcd(path: str) -> np.ndarray:
@@ -52,9 +99,20 @@ def read_pcd(path: str) -> np.ndarray:
             rec = np.fromfile(f, dt, n_points)
             xyz = np.stack([rec["x"], rec["y"], rec["z"]], -1)
         elif data_mode == "binary_compressed":
-            import lzf  # pragma: no cover — not in this image; gate clearly
-
-            raise NotImplementedError("binary_compressed PCD not supported")
+            # u32 compressed size, u32 uncompressed size, LZF blob; the
+            # decompressed buffer is FIELD-MAJOR (all x, then all y, ...)
+            comp_size, uncomp_size = struct.unpack("<II", f.read(8))
+            raw = lzf_decompress(f.read(comp_size), uncomp_size)
+            cols = {}
+            off = 0
+            for name, s, t, c in zip(fields, sizes, types, counts):
+                width = s * c * n_points
+                col = np.frombuffer(
+                    raw[off : off + width], dtype=f"{np_types[t]}{s}"
+                )
+                cols[name] = col.reshape(n_points, c) if c > 1 else col
+                off += width
+            xyz = np.stack([cols["x"], cols["y"], cols["z"]], -1)
         else:
             raise ValueError(f"unknown PCD data mode {data_mode}")
     xyz = xyz.astype(np.float32)

@@ -117,6 +117,205 @@ def render_scan(
     return pts.astype(np.float32), cos.astype(np.float32)
 
 
+def boxes_near(world: SyntheticWorld, center: np.ndarray, radius: float) -> SyntheticWorld:
+    """World subset whose boxes can be hit within ``radius`` of ``center``
+    (raycast cost is linear in boxes; a 500-frame corridor world carries
+    hundreds, only dozens are in range of any one scan)."""
+    if len(world.boxes) == 0:
+        return world
+    lo = world.boxes[:, 0] - center[None]
+    hi = world.boxes[:, 1] - center[None]
+    d = np.linalg.norm(np.maximum(np.maximum(lo, -hi), 0.0), axis=-1)
+    return SyntheticWorld(boxes=world.boxes[d <= radius], ground_z=world.ground_z)
+
+
+def kitti_trajectory(n_frames: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented KITTI-statistics trajectory: urban straights, 90-degree
+    turns, gentle curves, and a faster sparse highway stretch (KITTI 01
+    style). Speeds 0.8-1.4 m/frame match KITTI's 10 Hz scan rate at
+    30-50 km/h. Returns (poses (N, 4, 4), urban (N,) bool)."""
+    plan = [  # (fraction, step m/frame, total yaw change rad, urban)
+        (0.16, 1.0, 0.0, True),
+        (0.08, 0.8, -np.pi / 2, True),
+        (0.13, 1.0, 0.0, True),
+        (0.09, 1.0, 0.55, True),      # gentle curve
+        (0.09, 1.0, -0.55, True),
+        (0.21, 1.4, 0.0, False),      # highway
+        (0.08, 0.9, np.pi / 2, False),
+        (0.16, 1.0, 0.0, True),
+    ]
+    poses, urban = [], []
+    x, y, yaw = 0.0, 0.0, 0.0
+    left = n_frames
+    for i, (frac, step, dyaw, is_urban) in enumerate(plan):
+        k = left if i == len(plan) - 1 else min(left, round(frac * n_frames))
+        rate = dyaw / max(k, 1)
+        for _ in range(k):
+            c, s = np.cos(yaw), np.sin(yaw)
+            T = np.eye(4)
+            T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            T[:3, 3] = [x, y, 1.73]  # HDL-64E mount height
+            poses.append(T)
+            urban.append(is_urban)
+            x += step * c
+            y += step * s
+            yaw += rate
+        left -= k
+        if left <= 0:
+            break
+    return np.stack(poses), np.asarray(urban)
+
+
+def make_kitti_world(
+    poses: np.ndarray, urban: np.ndarray, seed: int = 0
+) -> SyntheticWorld:
+    """KITTI-statistics world built along a trajectory: building facades
+    flanking urban road segments, parked cars, poles; sparse guardrails and
+    occasional signs along highway segments; flat ground. All structures are
+    placed relative to the local road heading, then any box encroaching on
+    the driving corridor is dropped."""
+    rng = np.random.default_rng(seed)
+    boxes = []
+    pos = poses[:, :3, 3]
+    heading = poses[:, :3, :3] @ np.array([1.0, 0.0, 0.0])
+    normal = np.stack([-heading[:, 1], heading[:, 0], np.zeros(len(pos))], -1)
+
+    dist = np.concatenate([[0.0], np.cumsum(np.linalg.norm(np.diff(pos, axis=0), axis=-1))])
+    next_at = {"bldg": 0.0, "car": 5.0, "pole": 2.0, "rail": 0.0}
+    for i in range(len(pos)):
+        d = dist[i]
+        p, nrm = pos[i], normal[i]
+        if urban[i]:
+            if d >= next_at["bldg"]:
+                for side in (-1.0, 1.0):
+                    if rng.uniform() < 0.85:  # occasional empty lot
+                        off = rng.uniform(7.0, 14.0)
+                        depth = rng.uniform(5.0, 12.0)
+                        length = rng.uniform(8.0, 25.0)
+                        h = rng.uniform(4.0, 14.0)
+                        c = p + side * (off + depth / 2) * nrm + heading[i] * length / 2
+                        half = np.array([
+                            max(abs(heading[i, 0]) * length, abs(nrm[0]) * depth) / 2,
+                            max(abs(heading[i, 1]) * length, abs(nrm[1]) * depth) / 2,
+                            h / 2,
+                        ])
+                        half[:2] = np.maximum(half[:2], 1.5)
+                        boxes.append([
+                            [c[0] - half[0], c[1] - half[1], 0.0],
+                            [c[0] + half[0], c[1] + half[1], h],
+                        ])
+                next_at["bldg"] = d + rng.uniform(9.0, 16.0)
+            if d >= next_at["car"]:
+                side = rng.choice([-1.0, 1.0])
+                c = p + side * rng.uniform(3.2, 4.5) * nrm
+                half = np.array([2.2, 2.2, 0.75])  # isotropic car blob
+                boxes.append([
+                    [c[0] - half[0], c[1] - half[1], 0.0],
+                    [c[0] + half[0], c[1] + half[1], 1.5],
+                ])
+                next_at["car"] = d + rng.uniform(8.0, 25.0)
+            if d >= next_at["pole"]:
+                side = rng.choice([-1.0, 1.0])
+                c = p + side * rng.uniform(4.5, 6.0) * nrm
+                boxes.append([
+                    [c[0] - 0.15, c[1] - 0.15, 0.0],
+                    [c[0] + 0.15, c[1] + 0.15, rng.uniform(4.0, 7.0)],
+                ])
+                next_at["pole"] = d + rng.uniform(10.0, 20.0)
+        else:  # highway: guardrails + rare signs
+            if d >= next_at["rail"]:
+                for side in (-1.0, 1.0):
+                    c = p + side * 6.5 * nrm + heading[i] * 6.0
+                    half = np.array([
+                        max(abs(heading[i, 0]) * 12.0, abs(nrm[0]) * 0.3) / 2,
+                        max(abs(heading[i, 1]) * 12.0, abs(nrm[1]) * 0.3) / 2,
+                        0.4,
+                    ])
+                    half[:2] = np.maximum(half[:2], 0.15)
+                    boxes.append([
+                        [c[0] - half[0], c[1] - half[1], 0.0],
+                        [c[0] + half[0], c[1] + half[1], 0.8],
+                    ])
+                if rng.uniform() < 0.25:
+                    side = rng.choice([-1.0, 1.0])
+                    c = p + side * 8.0 * nrm
+                    boxes.append([
+                        [c[0] - 1.5, c[1] - 0.2, 0.0],
+                        [c[0] + 1.5, c[1] + 0.2, 6.0],
+                    ])
+                next_at["rail"] = d + rng.uniform(25.0, 40.0)
+
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 2, 3)
+    # drop anything encroaching on the driving corridor (2.6 m of any pose)
+    clear = np.ones(len(boxes), bool)
+    for i, b in enumerate(boxes):
+        q = np.clip(pos, b[0], b[1])
+        if np.min(np.linalg.norm(q - pos, axis=-1)) < 2.6:
+            clear[i] = False
+    return SyntheticWorld(boxes=boxes[clear], ground_z=0.0)
+
+
+def hdl64_dirs(n_azimuth: int = 2048) -> np.ndarray:
+    """Velodyne HDL-64E beam pattern (KITTI): 64 beams, -24.8 to +2 deg."""
+    elev = np.deg2rad(np.linspace(-24.8, 2.0, 64))
+    azim = np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False)
+    e, a = np.meshgrid(elev, azim, indexing="ij")
+    d = np.stack([np.cos(e) * np.cos(a), np.cos(e) * np.sin(a), np.sin(e)], -1)
+    return d.reshape(-1, 3)
+
+
+def corridor_surface_samples(
+    world: SyntheticWorld,
+    traj_xyz: np.ndarray,
+    n: int = 200000,
+    radius: float = 30.0,
+    seed: int = 1,
+) -> np.ndarray:
+    """GT surface samples restricted to the observed corridor around a long
+    trajectory (the replica-world analog of a survey-grade GT cloud: only
+    what a scan could see is fair game for completeness)."""
+    rng = np.random.default_rng(seed)
+    # ground: random trajectory anchor + disc offset
+    k = n // 2
+    anchors = traj_xyz[rng.integers(0, len(traj_xyz), k)]
+    ang = rng.uniform(0, 2 * np.pi, k)
+    rad = radius * np.sqrt(rng.uniform(0, 1, k))
+    ground = np.stack(
+        [anchors[:, 0] + rad * np.cos(ang), anchors[:, 1] + rad * np.sin(ang),
+         np.full(k, world.ground_z)], -1,
+    )
+    pts = [ground]
+    if len(world.boxes):
+        # box faces, area-weighted, only boxes near the corridor
+        centers = 0.5 * (world.boxes[:, 0] + world.boxes[:, 1])
+        d = np.min(
+            np.linalg.norm(centers[:, None, :2] - traj_xyz[None, ::5, :2], axis=-1),
+            axis=1,
+        )
+        near = world.boxes[d < radius]
+        sizes = near[:, 1] - near[:, 0]
+        areas = 2 * (
+            sizes[:, 0] * sizes[:, 2] + sizes[:, 1] * sizes[:, 2]
+            + sizes[:, 0] * sizes[:, 1]
+        )
+        probs = areas / areas.sum()
+        pick = rng.choice(len(near), n - k, p=probs)
+        for bi in np.unique(pick):
+            m = int((pick == bi).sum())
+            box = near[bi]
+            size = box[1] - box[0]
+            face_area = np.array([
+                size[1] * size[2], size[0] * size[2], size[0] * size[1],
+            ]).repeat(2)
+            fpick = rng.choice(6, m, p=face_area / face_area.sum())
+            p = rng.uniform(box[0], box[1], (m, 3))
+            for f in range(6):
+                sel = fpick == f
+                p[sel, f // 2] = box[f % 2][f // 2]
+            pts.append(p)
+    return np.concatenate(pts).astype(np.float32)
+
+
 def surface_samples(world: SyntheticWorld, n: int = 20000, extent: float = 35.0,
                     seed: int = 1) -> np.ndarray:
     """Uniform samples on the world surface (ground + box faces) for mesh

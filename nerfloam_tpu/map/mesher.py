@@ -117,10 +117,20 @@ def extract_mesh(
     if len(tris) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 
-    # weld duplicate vertices (quantize to 1e-4 m)
+    # weld duplicate vertices: quantize relative to the mesh min corner and
+    # dedup on ONE int64 lattice key (ops/keys.weld_key_np) — duplicate
+    # verts across cells/chunks are bitwise equal (same corner values, same
+    # arithmetic), so any quantum well under voxel_size welds exactly; the
+    # quantum only coarsens past 1e-4 m when the scene outgrows the 21-bit
+    # key range (~210 m at 1e-4; ~2 mm at KITTI-highway 4 km extents)
+    from nerfloam_tpu.ops.keys import COORD_MASK, weld_key_np
+
     flat = tris.reshape(-1, 3)
-    keys = np.round(flat * 1e4).astype(np.int64)
-    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    vmin = flat.min(axis=0)
+    span = float((flat.max(axis=0) - vmin).max())
+    quantum = max(1e-4, span / (COORD_MASK - 1))
+    keys = np.round((flat - vmin) / quantum).astype(np.int64)
+    uniq, inverse = np.unique(weld_key_np(keys), return_inverse=True)
     idx_sorted = np.argsort(inverse, kind="stable")
     first_pos = np.searchsorted(inverse[idx_sorted], np.arange(len(uniq)))
     verts = flat[idx_sorted[first_pos]]
@@ -132,3 +142,47 @@ def extract_mesh(
         & (faces[:, 0] != faces[:, 2])
     )
     return verts.astype(np.float32), faces[good]
+
+
+def downsample_points(points: np.ndarray, voxel: float = 0.05) -> np.ndarray:
+    """Voxel-grid downsample (one representative point per cell) — the
+    numpy equivalent of the reference's o3d voxel_down_sample
+    (mesh_util.py:22-26), used to bound the KD-tree size in
+    :func:`clean_mesh`."""
+    if len(points) == 0:
+        return points
+    from nerfloam_tpu.ops.keys import COORD_MASK, weld_key_np
+
+    pmin = points.min(axis=0)
+    span = float((points.max(axis=0) - pmin).max())
+    voxel = max(voxel, span / (COORD_MASK - 1))  # keep keys in 21 bits/axis
+    cells = np.floor((points - pmin) / voxel).astype(np.int64)
+    _, first = np.unique(weld_key_np(cells), return_index=True)
+    return points[first]
+
+
+def clean_mesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    observed_points: np.ndarray,
+    radius: float,
+) -> np.ndarray:
+    """SHINE-protocol mesh culling: keep only faces with at least one vertex
+    within ``radius`` of an observed point (the reference's clean_mseh path,
+    /root/reference/src/utils/mesh_util.py:90-102: cKDTree ball query at
+    voxel_size * 0.5, face kept if ANY vertex has a neighbor).
+
+    Returns the filtered faces array (vertices are left untouched; unused
+    vertices are harmless in PLY output and keep face indices stable).
+    """
+    if len(faces) == 0 or len(observed_points) == 0:
+        return faces
+    from scipy.spatial import cKDTree
+
+    kdtree = cKDTree(observed_points)
+    n_near = kdtree.query_ball_point(
+        verts, radius, workers=-1, return_length=True
+    )
+    point_mask = np.asarray(n_near) > 0
+    face_mask = point_mask[faces.reshape(-1)].reshape(-1, 3).any(-1)
+    return faces[face_mask]

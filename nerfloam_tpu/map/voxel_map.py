@@ -211,6 +211,7 @@ def reconcile_packed(
     new_packed: jnp.ndarray,   # (A, 8F) optimized packed table
     touched: jnp.ndarray,      # (A,) bool — voxels sampled during the BA step
     touched_cap: int,
+    mode: str = "mean",
 ) -> jnp.ndarray:
     """Fold optimized packed-copy deltas back into canonical embeddings.
 
@@ -218,10 +219,19 @@ def reconcile_packed(
     gather/scatter fast path); a lattice corner shared by k voxels has k
     copies that may diverge during one BA step. Canonical semantics (the
     reference keeps ONE parameter per corner, octree.cpp:68-109 vertex
-    sharing) are restored here: each corner receives the SUM of its copies'
-    deltas — the same total-gradient flow, applied once per step instead of
+    sharing) are approximately restored here, once per BA step instead of
     per iteration. Touched voxels are compacted to a static ``touched_cap``
     so the scatter is 8*T rows, not 8*A.
+
+    ``mode`` selects how a corner combines its k copies' deltas:
+      - "mean": delta sum divided by the corner's touched multiplicity.
+        Closest to the reference's update *magnitude*: Adam normalizes each
+        per-copy step to ~lr regardless of gradient size, so summing k
+        copies would scale the effective lr by ~k on shared corners.
+      - "sum": raw delta sum (total-gradient-flow heuristic; the round-1
+        behavior, kept for A/B).
+    Neither is exactly one Adam chain per shared corner; the exact path is
+    ``exact_embedding_grads`` in core/ba.py.
 
     Returns the new (C, F) embeddings array.
     """
@@ -239,8 +249,15 @@ def reconcile_packed(
     delta = (new_packed[t_rows] - state.packed[t_rows]).reshape(touched_cap, 8, F)
     cids = state.corner_idx[state.active_ids[t_rows]]          # (T, 8)
     cflat = jnp.where(t_valid[:, None], cids, C).reshape(-1)
+    if mode == "mean":
+        mult = jnp.zeros((C,), jnp.float32).at[cflat].add(1.0, mode="drop")
+        delta = delta.reshape(-1, F) / jnp.maximum(mult[jnp.clip(cflat, 0, C - 1)], 1.0)[:, None]
+    elif mode == "sum":
+        delta = delta.reshape(-1, F)
+    else:
+        raise ValueError(f"reconcile mode must be 'mean' or 'sum', got {mode!r}")
     emb = state.embeddings.at[cflat].add(
-        delta.reshape(-1, F).astype(state.embeddings.dtype), mode="drop"
+        delta.astype(state.embeddings.dtype), mode="drop"
     )
     return emb
 

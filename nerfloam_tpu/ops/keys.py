@@ -4,9 +4,13 @@ TPU-native replacement for the reference octree's Morton math
 (/root/reference/third_party/sparse_octree/include/utils.h:64-109). The
 reference interleaves 21-bit x/y/z into a single uint64 key used for octree
 child walking; we keep the same 21-bit-per-axis key space but avoid int64
-(TPUs emulate it) by packing into a pair of int32 words. Keys are used only
-for deduplication (sort/unique) at insert time — the hot path queries a
-dense region-local grid instead (see nerfloam_tpu.map.voxel_map).
+(TPUs emulate it) by packing into a pair of int32 words. The pipeline's
+insert dedup does NOT use these keys — it elects representatives through a
+region-grid scatter (voxel_map.insert_points), which is cheaper inside the
+region. This codec is the global-key contract: sort/unique dedup of lattice
+coords anywhere in the 2^21-per-axis world (used by the mesher's vertex
+weld via ``weld_key``, and as the reference-parity Morton semantics the
+tests pin against third_party/sparse_octree/include/utils.h).
 
 Coordinates are signed lattice integers; ``COORD_OFFSET`` re-centers them to
 [0, 2^21). This replaces the reference's "+2000 m pose offset" hack
@@ -17,6 +21,7 @@ frame.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 COORD_BITS = 21
 COORD_OFFSET = 1 << (COORD_BITS - 1)  # 2^20: signed coords -> non-negative
@@ -106,6 +111,20 @@ def morton_decode(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
             v = v | (bit << i)
         out.append(v - COORD_OFFSET)
     return jnp.stack(out, axis=-1)
+
+
+def weld_key_np(coords: np.ndarray) -> np.ndarray:
+    """Host-side single-int64 variant of :func:`pack` for vertex welding.
+
+    ``coords``: non-negative integer array (..., 3) with every component in
+    [0, 2^21). Returns one int64 key per row — np.unique on a 1-D int64
+    array is several times faster than np.unique(axis=0) on the (N, 3)
+    original (the mesher's weld was the reference's worst final-mesh
+    hotspot class, mesh_util.py:145-169). Host int64 is native; the device
+    path uses the (hi, lo) int32 :func:`pack` instead.
+    """
+    c = coords.astype(np.int64)
+    return (c[..., 0] << (2 * COORD_BITS)) | (c[..., 1] << COORD_BITS) | c[..., 2]
 
 
 def lexsort_keys(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:

@@ -42,7 +42,10 @@ class RaycastConfig(NamedTuple):
     voxel_size: float
     max_depth: float
     coarse_step: float = 0.0  # occupancy-march spacing for the inverse-CDF
-    #                           sampler; 0 -> voxel_size / 2
+    #                           sampler; 0 -> voxel_size (midpoint probes at
+    #                           voxel pitch; set to voxel_size/2 to also catch
+    #                           voxels crossed obliquely by short path
+    #                           segments — A/B'd in docs/PERF.md)
     n_coarse: int = 0         # coarse slots; 0 -> ceil(max_depth/coarse_step)
 
 
@@ -132,8 +135,8 @@ def sample_rays_cdf(
     path length, stratified + jittered), with the octree DFS replaced by a
     coarse occupancy march:
 
-      1. march the ray at ``coarse_step`` spacing (~voxel_size/2) and mark
-         slots whose voxel is a surface voxel — one (R, S_c) grid gather;
+      1. march the ray at ``coarse_step`` spacing (default: voxel_size) and
+         mark slots whose voxel is a surface voxel — one (R, S_c) grid gather;
       2. build the per-ray CDF of occupied slots (cumsum) and place the k-th
          sample at stratified quantile q_k = (k + u_k)/M * n_occ via
          searchsorted; the quantile's fractional part positions the sample

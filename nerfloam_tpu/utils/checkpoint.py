@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,12 +20,28 @@ from nerfloam_tpu.core.frame import Frame
 from nerfloam_tpu.map import voxel_map as vm
 
 
+# Per-frame active-set views are derived state (rebuilt by refresh_active
+# from the canonical table) — excluded from checkpoints; see the MapState
+# docstring in map/voxel_map.py. The (A, 8F) packed table alone is ~134 MB
+# f32 at default caps.
+DERIVED_MAP_FIELDS = (
+    "active_ids", "n_active", "grid_active", "packed", "active_coords",
+)
+
+
 def save_checkpoint(path: str, slam) -> None:
     os.makedirs(path, exist_ok=True)
     st = slam.state
+    # Align the live state with what load will rebuild: the frame loop's
+    # active views predate the frame's voxel insert (refresh runs before
+    # BA/insert inside the megastep), while load re-derives them from the
+    # post-insert canonical table. Refreshing here makes save-and-continue
+    # bit-identical to save-and-resume.
+    st.map_state = vm.refresh_active(st.map_state, slam.map_cfg)
     arrays = {
         f"map_{name}": np.asarray(getattr(st.map_state, name))
         for name in st.map_state._fields
+        if name not in DERIVED_MAP_FIELDS
     }
     dec_flat = {}
     for i, layer in enumerate(st.decoder_params["layers"]):
@@ -52,6 +69,9 @@ def save_checkpoint(path: str, slam) -> None:
         if st.frame_poses else np.zeros((0, 4, 4)),
         last_pose6=st.last_frame.pose6 if st.last_frame else np.zeros(6),
         rel_pose=st.rel_pose if st.rel_pose is not None else np.eye(4),
+        # RNG state: resume is bit-reproducible against an uninterrupted run
+        jax_key=np.asarray(jax.random.key_data(slam.key)),
+        py_rng=np.asarray(slam.pyrng.getstate()[1], np.uint32),
     )
     manifest = {
         "map_cfg": slam.map_cfg._asdict(),
@@ -66,6 +86,7 @@ def save_checkpoint(path: str, slam) -> None:
         "frames_processed": st.frames_processed,
         "has_rel_pose": st.rel_pose is not None,
         "last_frame_index": st.last_frame.index if st.last_frame else -1,
+        "py_rng_version": slam.pyrng.getstate()[0],
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -86,9 +107,16 @@ def load_checkpoint(path: str, slam) -> None:
     )
     st = slam.state
     st.map_cfg = slam.map_cfg
-    st.map_state = vm.MapState(
-        **{name: jnp.asarray(data[f"map_{name}"]) for name in vm.MapState._fields}
+    fresh = vm.create(slam.map_cfg)  # derived views start as placeholders
+    st.map_state = fresh._replace(
+        **{
+            name: jnp.asarray(data[f"map_{name}"])
+            for name in vm.MapState._fields
+            if f"map_{name}" in data and name not in DERIVED_MAP_FIELDS
+        }
     )
+    # rebuild the per-frame active views from the canonical table
+    st.map_state = vm.refresh_active(st.map_state, slam.map_cfg)
     for i, layer in enumerate(st.decoder_params["layers"]):
         layer["w"] = jnp.asarray(data[f"dec_w{i}"])
         layer["b"] = jnp.asarray(data[f"dec_b{i}"])
@@ -127,3 +155,8 @@ def load_checkpoint(path: str, slam) -> None:
         )
         st.last_frame = lf
     st.rel_pose = data["rel_pose"] if manifest["has_rel_pose"] else None
+    if "jax_key" in data:
+        slam.key = jax.random.wrap_key_data(jnp.asarray(data["jax_key"]))
+    if "py_rng" in data:
+        inner = tuple(int(x) for x in data["py_rng"])
+        slam.pyrng.setstate((manifest.get("py_rng_version", 3), inner, None))

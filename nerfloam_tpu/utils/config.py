@@ -104,10 +104,15 @@ DEFAULTS = {
         "compute_dtype": "float32",  # MLP matmul dtype ("bfloat16" on TPU)
         "emb_dtype": "float32",      # embedding storage (ref uses bfloat16)
         "active_cap": 1 << 18,       # per-frame active surface-voxel budget
-        "touched_cap": 1 << 16,      # BA delta-reconciliation budget
+        #                              (grows automatically on overflow)
+        "touched_cap": 0,            # BA delta-reconciliation budget;
+        #                              0 -> active_cap (lossless)
+        "reconcile_mode": "mean",    # shared-corner delta combining
+        #                              ("mean" | "sum"), voxel_map.reconcile_packed
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads
         "track_resample_rays": False,    # reference-exact per-iter resampling
         "ba_ray_superset": 2,            # BA hoisted-march superset (0=exact)
+        "coarse_factor": 1.0,            # occupancy-march step / voxel_size
         "track_method": "adam",          # "adam" (reference) | "gn" (LM solver)
         "track_gn_iterations": 16,
         "const_vel_full": False,         # SE(3) warm start incl. rotation

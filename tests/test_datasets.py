@@ -81,22 +81,42 @@ def test_maicity_loader(tmp_path):
     assert len(pts) > 1000 and pose.shape == (4, 4)
 
 
-def _write_pcd(path, pts, binary):
+def _lzf_compress_literal(data: bytes) -> bytes:
+    """Valid (if uncompressive) libLZF stream: literal runs of <= 32 bytes."""
+    out = bytearray()
+    for i in range(0, len(data), 32):
+        chunk = data[i : i + 32]
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+    return bytes(out)
+
+
+def _write_pcd(path, pts, mode):
     header = (
         "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
         f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
-        f"POINTS {len(pts)}\nDATA {'binary' if binary else 'ascii'}\n"
+        f"POINTS {len(pts)}\nDATA {mode}\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode())
-        if binary:
+        if mode == "binary":
             f.write(pts.astype("<f4").tobytes())
+        elif mode == "binary_compressed":
+            import struct
+
+            # field-major (all x, all y, all z), as PCL writes it
+            soa = np.ascontiguousarray(pts.astype("<f4").T).tobytes()
+            blob = _lzf_compress_literal(soa)
+            f.write(struct.pack("<II", len(blob), len(soa)))
+            f.write(blob)
         else:
             for p in pts:
                 f.write(f"{p[0]} {p[1]} {p[2]}\n".encode())
 
 
-@pytest.mark.parametrize("binary", [False, True])
+@pytest.mark.parametrize(
+    "binary", ["ascii", "binary", "binary_compressed"]
+)
 def test_ncd_loader(tmp_path, binary):
     from nerfloam_tpu.data.ncd import DataLoader
 
@@ -119,8 +139,30 @@ def test_pcd_roundtrip(tmp_path):
     from nerfloam_tpu.data.pcd_io import read_pcd
 
     pts = _scan_cloud(n=100, seed=1)[:100]
-    for binary in (False, True):
-        p = tmp_path / f"x_{binary}.pcd"
-        _write_pcd(p, pts, binary)
+    for mode in ("ascii", "binary", "binary_compressed"):
+        p = tmp_path / f"x_{mode}.pcd"
+        _write_pcd(p, pts, mode)
         back = read_pcd(str(p))
         np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_lzf_decompress_backrefs():
+    """Exercise every libLZF opcode class: literals, short/extended-length
+    back references, overlapping (RLE) and non-overlapping copies."""
+    from nerfloam_tpu.data.pcd_io import lzf_decompress
+
+    # literal "abc" + overlapping backref dist 3 len 6 -> "abcabcabc"
+    stream = bytes([2]) + b"abc" + bytes([(4 << 5) | 0, 2])
+    assert lzf_decompress(stream, 9) == b"abcabcabc"
+
+    # extended length (ctrl>>5 == 7): literal 8 bytes + backref len 7+3+2=12
+    stream = bytes([7]) + b"01234567" + bytes([(7 << 5) | 0, 3, 7])
+    assert lzf_decompress(stream, 20) == b"01234567" + b"01234567"[:8] + b"0123"
+
+    # non-overlapping copy: 8 literals, backref dist 8 len 4 (bulk path)
+    stream = bytes([7]) + b"abcdwxyz" + bytes([(2 << 5) | 0, 7])
+    assert lzf_decompress(stream, 12) == b"abcdwxyzabcd"
+
+    # corrupt: reference before stream start
+    with pytest.raises(ValueError):
+        lzf_decompress(bytes([0]) + b"a" + bytes([(2 << 5) | 0, 200]), 5)

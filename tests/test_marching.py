@@ -82,3 +82,33 @@ def test_flat_plane():
     tris = np.asarray(tris)[np.asarray(valid)]
     assert len(tris) > 0
     np.testing.assert_allclose(tris[..., 2], 0.13, atol=1e-5)
+
+
+def test_clean_mesh_culls_unobserved_faces():
+    """SHINE-protocol culling: faces keep iff ANY vertex has an observed
+    point within voxel_size * 0.5 (reference mesh_util.py:90-102)."""
+    import numpy as np
+    from nerfloam_tpu.map.mesher import clean_mesh, downsample_points
+
+    verts = np.array(
+        [
+            [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],   # observed
+            [50.0, 0.0, 0.0], [51.0, 0.0, 0.0], [50.0, 1.0, 0.0],  # spurious
+        ],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    observed = np.array([[0.05, 0.0, 0.0]], np.float32)  # near vertex 0 only
+    kept = clean_mesh(verts, faces, observed, radius=0.15)
+    np.testing.assert_array_equal(kept, faces[:1])
+
+    # radius large enough to reach the far triangle keeps both
+    kept_all = clean_mesh(verts, faces, observed, radius=100.0)
+    assert len(kept_all) == 2
+
+    # downsample: 1000 points in one 5 cm cell -> 1 representative
+    pts = np.random.default_rng(0).uniform(0, 0.04, (1000, 3)).astype(np.float32)
+    assert len(downsample_points(pts, voxel=0.05)) == 1
+    # two distant clusters -> 2
+    pts2 = np.concatenate([pts, pts + 10.0])
+    assert len(downsample_points(pts2, voxel=0.05)) == 2
