@@ -9,12 +9,15 @@ device JAX provides (the real TPU chip under the driver).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no throughput numbers
-(BASELINE.json "published": {}). We use 1.0 scans/s as the RTX 3090
-reference estimate — the reference executes ~50 optimizer iterations per
-scan, each with >= 6 separate CUDA kernel launches, two host<->device
-embedding-table round-trips (render_helpers.py:88) and cross-process
-pickling per frame; NeRF-LOAM is described by its authors as non-real-time.
-The target in BASELINE.md is >= 5x that estimate.
+(BASELINE.json "published": {}). BASELINE.md "Reference throughput
+derivation" derives a structural bound of ~0.1-0.2 scans/s from the
+reference's mandatory per-iteration GPU->CPU->GPU embedding-remap hop
+(measured 61 ms/iter at tracking scale on this host's CPU,
+render_helpers.py:86-87), its 50 sequential optimizer iterations per scan,
+and its per-frame pickle publish (measured 360 ms round trip). We keep
+1.0 scans/s as the denominator — 5-10x more generous to the reference than
+the measured bound — so vs_baseline understates the speedup. The BASELINE
+target is >= 5x this denominator.
 """
 
 import json

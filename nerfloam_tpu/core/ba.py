@@ -84,8 +84,22 @@ class BAResult(NamedTuple):
     #   > touched_cap means reconciliation dropped deltas (host warns/grows)
 
 
-@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))
-def ba_step(
+def _local_cols(x: jnp.ndarray, axis_name: str | None, c: int) -> jnp.ndarray:
+    """This device's column block of a globally-drawn (W, n_rays) array.
+
+    Multi-chip ray sharding is global-draw-then-slice: every device draws
+    the SAME per-iteration ray indices (replicated key) and trains on its
+    own contiguous block, so the union over devices equals the single-chip
+    draw exactly — dp only changes float reduction order."""
+    if axis_name is None:
+        return x
+    i = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(x, i * c, c, axis=1)
+
+
+def _ba_core(
+    axis_name: str | None,
+    dp_size: int,
     map_state: MapState,
     map_cfg: MapConfig,
     rc: RaycastConfig,
@@ -102,11 +116,23 @@ def ba_step(
     lrs: jnp.ndarray,           # (3,) [emb, decoder, pose]
     key: jax.Array,
 ) -> BAResult:
+    """BA loop body, single-chip (axis_name=None) or inside shard_map.
+
+    Multi-chip layout (SURVEY §2.3 TPU-native column): map + decoder +
+    optimizer state replicated, training rays dp-sharded by column block,
+    the coarse occupancy march replicated (once per step; cheap next to the
+    iteration loop), loss reductions and parameter gradients psum'd over
+    'dp' so every device applies the identical Adam update.
+    """
     compute_dtype = jnp.dtype(bp.compute_dtype)
     W = bp.n_frames
     A = vm.acap(map_cfg)
+    n_local = bp.n_rays // dp_size
     opt = optax.scale_by_adam()
     use_superset = bp.ray_superset > 0 and not bp.exact_embedding_grads
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     if use_superset:
         # hoisted march: draw a K-ray superset per frame and march its
@@ -153,9 +179,9 @@ def ba_step(
             dirs = jnp.take_along_axis(sup_dirs, ridx[..., None], axis=1)
             occupancy = (
                 jnp.take_along_axis(sup_cdf, ridx[..., None], axis=1)
-                .reshape((W * bp.n_rays, -1)),
+                .reshape((W * n_local, -1)),
                 jnp.take_along_axis(sup_nocc, ridx, axis=1)
-                .reshape((W * bp.n_rays,)),
+                .reshape((W * n_local,)),
             )
         else:
             pts = jnp.take_along_axis(points, ridx[..., None], axis=1)
@@ -166,18 +192,25 @@ def ba_step(
         origins = jnp.broadcast_to(
             se3.pose_translation(pos)[:, None, :], wdirs.shape
         )
-        N = bp.n_rays
+        N = n_local
         flat = lambda x: x.reshape((W * N,) + x.shape[2:])
         t_cap = t_cap_for(flat(pts), flat(pcos), bp.truncation, bp.max_depth)
+        # placement jitter drawn at GLOBAL ray shape then column-sliced, so
+        # the sharded step reproduces the single-chip sample stream exactly
+        Ms = rc.n_samples
+        u_full = jax.random.uniform(
+            k, (W * bp.n_rays, Ms), minval=1e-4, maxval=1.0 - 1e-4
+        ).reshape(W, bp.n_rays, Ms)
+        u_loc = _local_cols(u_full, axis_name, n_local).reshape(W * N, Ms)
         out = render_rays(
             st, map_cfg, rc, dec, decoder_meta,
             flat(origins), flat(wdirs), t_cap, flat(rvalid), k, compute_dtype,
-            occupancy=occupancy,
+            occupancy=occupancy, jitter_u=u_loc,
         )
         loss, _ = sdf_losses(
             out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
             flat(pts), flat(pcos), bp.truncation, bp.max_depth,
-            bp.fs_weight, bp.sdf_weight,
+            bp.fs_weight, bp.sdf_weight, axis_name=axis_name,
         )
         return loss
 
@@ -199,8 +232,13 @@ def ba_step(
                 lambda k, v: sample_ray_indices(k, v, bp.n_rays)
             )(jax.random.split(k_s, W), points_valid)
         rvalid = rvalid & frame_active[:, None]
+        # multi-chip: this device trains on its column block of the global
+        # draw (identity when axis_name is None)
+        ridx = _local_cols(ridx, axis_name, n_local)
+        rvalid = _local_cols(rvalid, axis_name, n_local)
 
         loss, grads = jax.value_and_grad(loss_fn)((emb, dec, pos), ridx, rvalid, k_r)
+        grads = jax.tree.map(allsum, grads)  # dp partial sums -> global grad
         g_emb, g_dec, g_pos = grads
         if not bp.exact_embedding_grads:
             touched = touched | jnp.any(g_emb != 0.0, axis=-1)
@@ -238,3 +276,61 @@ def ba_step(
     # the packed table is always f(embeddings) at frame boundaries.
     packed = vm.pack_embeddings(map_state._replace(embeddings=new_emb), map_cfg)
     return BAResult(new_emb, packed, dec, pos, loss, touched_count)
+
+
+@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))
+def ba_step(
+    map_state: MapState,
+    map_cfg: MapConfig,
+    rc: RaycastConfig,
+    bp: BAParams,
+    decoder_params,
+    decoder_meta,
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    points_cos: jnp.ndarray,
+    points_valid: jnp.ndarray,
+    frame_active: jnp.ndarray,
+    pose_free: jnp.ndarray,
+    update_decoder: jnp.ndarray,
+    lrs: jnp.ndarray,
+    key: jax.Array,
+) -> BAResult:
+    """Single-chip BA step (see _ba_core for the full contract)."""
+    return _ba_core(
+        None, 1, map_state, map_cfg, rc, bp, decoder_params, decoder_meta,
+        poses, points, points_cos, points_valid, frame_active, pose_free,
+        update_decoder, lrs, key,
+    )
+
+
+def make_sharded_ba_step(mesh, map_cfg: MapConfig, rc: RaycastConfig,
+                         bp: BAParams, decoder_meta):
+    """The PRODUCTION BA step over a device mesh: the exact _ba_core body
+    (Adam state, superset march, packed reconciliation, core/render render
+    path) under shard_map with rays dp-sharded and grads psum'd over ICI.
+
+    Map, decoder, poses, and optimizer state are replicated (in_specs P());
+    sharding is by column block inside the body (global-draw-then-slice),
+    so any dp produces the same sample set as a single chip and results
+    differ only by float reduction order. Returns a jitted fn with the same
+    runtime signature as :func:`ba_step` minus the static args.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp = int(mesh.shape["dp"])
+    if bp.n_rays % dp != 0:
+        raise ValueError(f"n_rays {bp.n_rays} not divisible by dp {dp}")
+
+    def body(map_state, decoder_params, poses, points, points_cos,
+             points_valid, frame_active, pose_free, update_decoder, lrs, key):
+        return _ba_core(
+            "dp", dp, map_state, map_cfg, rc, bp, decoder_params,
+            decoder_meta, poses, points, points_cos, points_valid,
+            frame_active, pose_free, update_decoder, lrs, key,
+        )
+
+    sharded = jax.shard_map(
+        body, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+    )
+    return jax.jit(sharded)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 MAX_DEPTH = 10000.0  # sentinel depth for invalid samples
@@ -40,8 +41,18 @@ def sdf_losses(
     max_depth: float,
     fs_weight: float,
     sdf_weight: float,
+    axis_name: str | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Weighted free-space + truncated-SDF loss. Returns (loss, loss_dict)."""
+    """Weighted free-space + truncated-SDF loss. Returns (loss, loss_dict).
+
+    ``axis_name``: when the R rays are sharded over a mesh axis (shard_map),
+    every count/sum reduction goes through a psum so each device computes
+    the GLOBAL loss — per-device grads are then partial sums whose psum is
+    exactly the single-device gradient (core/ba.py multi-chip path).
+    """
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     gt_distance = jnp.linalg.norm(gt_points, axis=-1) * points_cos  # (R,)
     z = z_vals * points_cos[:, None]  # (R, M)
     d = gt_distance[:, None]
@@ -53,23 +64,25 @@ def sdf_losses(
     depth_ok = (gt_distance > 0.0) & (gt_distance < max_depth)
     sdf_mask = valid & ~front_mask & ~back_mask & depth_ok[:, None]
 
-    num_fs = jnp.sum(front_mask)
-    num_sdf = jnp.sum(sdf_mask)
+    num_fs = allsum(jnp.sum(front_mask))
+    num_sdf = allsum(jnp.sum(sdf_mask))
     total = jnp.maximum(num_fs + num_sdf, 1).astype(z.dtype)
     fs_count_w = 1.0 - num_fs.astype(z.dtype) / total
     sdf_count_w = 1.0 - num_sdf.astype(z.dtype) / total
 
     # Normalizer: |hit rays| * M (constant-factor-off from the reference's
     # dynamic (hit_rays x max_len); see module docstring).
-    denom = jnp.maximum(jnp.sum(ray_mask) * z.shape[1], 1).astype(z.dtype)
+    denom = jnp.maximum(
+        allsum(jnp.sum(ray_mask)) * z.shape[1], 1
+    ).astype(z.dtype)
 
     fm = front_mask.astype(z.dtype)
     fs_se = jnp.square(sdf * fm - fm)
-    fs_loss = (jnp.sum(fs_se) / denom) * fs_count_w
+    fs_loss = (allsum(jnp.sum(fs_se)) / denom) * fs_count_w
 
     sm = sdf_mask.astype(z.dtype)
     sdf_se = jnp.square((z + sdf * truncation) * sm - d * sm)
-    sdf_loss = (jnp.sum(sdf_se) / denom) * sdf_count_w
+    sdf_loss = (allsum(jnp.sum(sdf_se)) / denom) * sdf_count_w
 
     loss = fs_weight * fs_loss + sdf_weight * sdf_loss
     return loss, {"fs_loss": fs_loss, "sdf_loss": sdf_loss, "loss": loss}

@@ -196,6 +196,21 @@ class NerfLoamSLAM:
         self.bootstrap_steps = int(cfg.tpu_specs["bootstrap_steps"])
 
         self._mega_cache = {}
+        # multi-chip: rays dp-sharded over a device mesh, map/decoder
+        # replicated, grads psum'd (ba.make_sharded_ba_step). dp=1 keeps the
+        # fused single-dispatch megastep.
+        self.dp = int(tpu.get("dp", 1))
+        self.mesh = None
+        self._sharded_cache = {}
+        if self.dp > 1:
+            devs = jax.devices()
+            if len(devs) < self.dp:
+                raise ValueError(
+                    f"tpu_specs.dp={self.dp} but only {len(devs)} devices"
+                )
+            from jax.sharding import Mesh
+
+            self.mesh = Mesh(np.asarray(devs[: self.dp]), ("dp",))
         self.key = jax.random.key(int(cfg.tpu_specs["seed"]))
         self.pyrng = pyrandom.Random(int(cfg.tpu_specs["seed"]))
 
@@ -374,9 +389,9 @@ class NerfLoamSLAM:
             [update_pose and f.index != st.first_frame_id for f in targets]
             + [False] * (bp.n_frames - len(targets))
         )
-        res = ba_mod.ba_step(
-            st.map_state, self.map_cfg, self.rc_map, bp,
-            st.decoder_params, st.decoder_meta,
+        res = self._ba_call(
+            bp,
+            st.map_state, st.decoder_params, st.decoder_meta,
             poses_dev if poses_dev is not None else jnp.asarray(poses),
             pts, cos, val,
             jnp.asarray(active), jnp.asarray(pose_free),
@@ -390,6 +405,26 @@ class NerfLoamSLAM:
         if not defer_pose_fetch:
             self._apply_ba_poses(targets, pose_free, np.asarray(res.poses))
         return res, [(targets, pose_free)]
+
+    def _ba_call(self, bp, map_state, dec_params, dec_meta, poses, pts, cos,
+                 val, active, pose_free, update_decoder, lrs, key):
+        """One BA step: single-chip jit, or the production shard_map step
+        over the dp mesh (same body, same sample set — ba.make_sharded_ba_step)."""
+        if self.dp == 1:
+            return ba_mod.ba_step(
+                map_state, self.map_cfg, self.rc_map, bp, dec_params, dec_meta,
+                poses, pts, cos, val, active, pose_free, update_decoder,
+                lrs, key,
+            )
+        cache_key = (self.map_cfg, bp)
+        fn = self._sharded_cache.get(cache_key)
+        if fn is None:
+            fn = ba_mod.make_sharded_ba_step(
+                self.mesh, self.map_cfg, self.rc_map, bp, dec_meta
+            )
+            self._sharded_cache[cache_key] = fn
+        return fn(map_state, dec_params, poses, pts, cos, val, active,
+                  pose_free, update_decoder, lrs, key)
 
     @staticmethod
     def _apply_ba_poses(targets, pose_free, new_poses: np.ndarray):
@@ -552,7 +587,7 @@ class NerfLoamSLAM:
             mapper_frame.index - st.first_frame_id
         ) < self.freeze_frame
 
-        if not frame.has_gt_pose:
+        if not frame.has_gt_pose and self.dp == 1:
             # hot path: ONE fused dispatch + ONE sync for the whole frame
             with self.prof.section("megastep"):
                 last = st.last_frame
@@ -604,8 +639,15 @@ class NerfLoamSLAM:
                 self.check_active_overflow(int(got[4]))
                 self.check_touched_overflow(int(got[5]))
         else:
-            # GT-pose (mapping-only) path: unfused stages
-            pose_dev = jnp.asarray(frame.pose6)
+            # staged path: GT poses (mapping-only), or tracked frames when
+            # BA runs on the dp mesh (the megastep fusion is single-chip)
+            track_res = None
+            if frame.has_gt_pose:
+                pose_dev = jnp.asarray(frame.pose6)
+            else:
+                with self.prof.section("track"):
+                    track_res = self.track_dispatch(frame)
+                pose_dev = track_res.pose
             with self.prof.section("recenter"):
                 self._recenter(pose_dev[:3])
             with self.prof.section("do_mapping"):
@@ -623,18 +665,24 @@ class NerfLoamSLAM:
                 got = jax.device_get(
                     [ba_res.poses, st.map_state.num_lat,
                      st.map_state.n_active, ba_res.touched_count]
+                    + ([track_res.pose, track_res.hit_count]
+                       if track_res is not None else [])
                 )
-                # maintain tracker motion state on the GT path too so
-                # remove_back direction and a later switch to tracked mode
-                # use fresh motion (reference keeps rel_pose per frame,
-                # tracking.py:142)
-                st.rel_pose = (
-                    np.linalg.inv(st.last_frame.pose_matrix())
-                    @ frame.pose_matrix()
-                )
-                frame.rel_pose = st.rel_pose
-                mapper_frame.rel_pose = st.rel_pose
-                st.last_frame = frame
+                if track_res is not None:
+                    self.track_finalize(frame, got[4], int(got[5]))
+                    mapper_frame.pose6 = np.asarray(got[4], np.float32)
+                else:
+                    # maintain tracker motion state on the GT path too so
+                    # remove_back direction and a later switch to tracked
+                    # mode use fresh motion (reference keeps rel_pose per
+                    # frame, tracking.py:142)
+                    st.rel_pose = (
+                        np.linalg.inv(st.last_frame.pose_matrix())
+                        @ frame.pose_matrix()
+                    )
+                    frame.rel_pose = st.rel_pose
+                    mapper_frame.rel_pose = st.rel_pose
+                    st.last_frame = frame
                 for targets, pose_free in ba_meta:
                     self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
                 self.check_map_overflow(int(got[1]))

@@ -79,18 +79,22 @@ def render_rays(
     key: jax.Array,
     compute_dtype=jnp.float32,
     occupancy=None,
+    jitter_u=None,
 ) -> RenderOutput:
     """``occupancy``: optional cached (cdf, n_occ) from
     ops.raycast.march_occupancy — skips the coarse march (used by
-    fixed-ray tracking, where the march is hoisted out of the Adam loop)."""
+    fixed-ray tracking, where the march is hoisted out of the Adam loop).
+    ``jitter_u``: optional externally-drawn (R, n_samples) placement jitter
+    (multi-chip BA draws it at global shape and slices per device)."""
     if occupancy is None:
         z, lid, valid, ray_mask = sample_rays_cdf(
-            state, map_cfg, rc, rays_o, rays_d, t_cap, key
+            state, map_cfg, rc, rays_o, rays_d, t_cap, key, u=jitter_u
         )
     else:
         cdf, n_occ = occupancy
         z, lid, valid, ray_mask = place_samples_cdf(
-            state, map_cfg, rc, cdf, n_occ, rays_o, rays_d, t_cap, key
+            state, map_cfg, rc, cdf, n_occ, rays_o, rays_d, t_cap, key,
+            u=jitter_u,
         )
     ray_mask = ray_mask & ray_valid
     valid = valid & ray_valid[:, None]

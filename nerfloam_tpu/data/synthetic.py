@@ -129,11 +129,16 @@ def boxes_near(world: SyntheticWorld, center: np.ndarray, radius: float) -> Synt
     return SyntheticWorld(boxes=world.boxes[d <= radius], ground_z=world.ground_z)
 
 
-def kitti_trajectory(n_frames: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def kitti_trajectory(
+    n_frames: int, seed: int = 0, max_yaw_per_frame: float = 0.05
+) -> tuple[np.ndarray, np.ndarray]:
     """Segmented KITTI-statistics trajectory: urban straights, 90-degree
     turns, gentle curves, and a faster sparse highway stretch (KITTI 01
     style). Speeds 0.8-1.4 m/frame match KITTI's 10 Hz scan rate at
-    30-50 km/h. Returns (poses (N, 4, 4), urban (N,) bool)."""
+    30-50 km/h; per-frame yaw is capped at ``max_yaw_per_frame`` (~2.9 deg,
+    a 10 Hz vehicle turn) — turn segments take however many frames that
+    needs, shortening the straights, so short sequences still have sane
+    dynamics. Returns (poses (N, 4, 4), urban (N,) bool)."""
     plan = [  # (fraction, step m/frame, total yaw change rad, urban)
         (0.16, 1.0, 0.0, True),
         (0.08, 0.8, -np.pi / 2, True),
@@ -144,25 +149,53 @@ def kitti_trajectory(n_frames: int, seed: int = 0) -> tuple[np.ndarray, np.ndarr
         (0.08, 0.9, np.pi / 2, False),
         (0.16, 1.0, 0.0, True),
     ]
+    ks = [round(frac * n_frames) for frac, _, _, _ in plan]
+    for i, (_, _, dyaw, _) in enumerate(plan):
+        if dyaw:
+            ks[i] = max(ks[i], int(np.ceil(abs(dyaw) / max_yaw_per_frame)))
+    # absorb the excess in the straight segments, largest first
+    excess = sum(ks) - n_frames
+    order = sorted(
+        (i for i, p in enumerate(plan) if p[2] == 0.0),
+        key=lambda i: -ks[i],
+    )
+    while excess > 0 and order:
+        for i in order:
+            if excess <= 0:
+                break
+            take = min(ks[i] - 1, excess)
+            ks[i] -= take
+            excess -= take
+        if all(ks[i] <= 1 for i in order):
+            break
     poses, urban = [], []
     x, y, yaw = 0.0, 0.0, 0.0
-    left = n_frames
-    for i, (frac, step, dyaw, is_urban) in enumerate(plan):
-        k = left if i == len(plan) - 1 else min(left, round(frac * n_frames))
+    ramp_frames = 12  # vehicles start from rest (KITTI sequences do too):
+    #                   velocity ramps over the first ~1.2 s so the tracker
+    #                   has a motion prior before full speed
+    for (frac, step, dyaw, is_urban), k in zip(plan, ks):
+        if len(poses) >= n_frames:
+            break
         rate = dyaw / max(k, 1)
         for _ in range(k):
+            if len(poses) >= n_frames:
+                break
+            i = len(poses)
+            ramp = min(1.0, (i + 1) / ramp_frames)
             c, s = np.cos(yaw), np.sin(yaw)
             T = np.eye(4)
             T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
             T[:3, 3] = [x, y, 1.73]  # HDL-64E mount height
             poses.append(T)
             urban.append(is_urban)
-            x += step * c
-            y += step * s
+            x += step * ramp * c
+            y += step * ramp * s
             yaw += rate
-        left -= k
-        if left <= 0:
-            break
+    while len(poses) < n_frames:  # tiny n: pad by continuing straight
+        T = poses[-1].copy()
+        T[:3, 3] += T[:3, :3] @ np.array([1.0, 0.0, 0.0])
+        poses.append(T)
+        urban.append(True)
     return np.stack(poses), np.asarray(urban)
 
 
@@ -181,17 +214,21 @@ def make_kitti_world(
     normal = np.stack([-heading[:, 1], heading[:, 0], np.zeros(len(pos))], -1)
 
     dist = np.concatenate([[0.0], np.cumsum(np.linalg.norm(np.diff(pos, axis=0), axis=-1))])
-    next_at = {"bldg": 0.0, "car": 5.0, "pole": 2.0, "rail": 0.0}
+    next_at = {"bldg": 0.0, "car": 3.0, "pole": 2.0, "clutter": 1.0, "rail": 0.0}
     for i in range(len(pos)):
         d = dist[i]
         p, nrm = pos[i], normal[i]
         if urban[i]:
             if d >= next_at["bldg"]:
+                # shorter facades with gaps and staggered setbacks — facade
+                # ends/corners are what constrain longitudinal motion (a
+                # continuous wall corridor is a translation-degenerate scene
+                # no real street exhibits)
                 for side in (-1.0, 1.0):
-                    if rng.uniform() < 0.85:  # occasional empty lot
-                        off = rng.uniform(7.0, 14.0)
-                        depth = rng.uniform(5.0, 12.0)
-                        length = rng.uniform(8.0, 25.0)
+                    if rng.uniform() < 0.75:  # empty lots / cross streets
+                        off = rng.uniform(6.0, 13.0)
+                        depth = rng.uniform(4.0, 10.0)
+                        length = rng.uniform(5.0, 14.0)
                         h = rng.uniform(4.0, 14.0)
                         c = p + side * (off + depth / 2) * nrm + heading[i] * length / 2
                         half = np.array([
@@ -204,24 +241,41 @@ def make_kitti_world(
                             [c[0] - half[0], c[1] - half[1], 0.0],
                             [c[0] + half[0], c[1] + half[1], h],
                         ])
-                next_at["bldg"] = d + rng.uniform(9.0, 16.0)
+                next_at["bldg"] = d + rng.uniform(8.0, 18.0)
             if d >= next_at["car"]:
-                side = rng.choice([-1.0, 1.0])
-                c = p + side * rng.uniform(3.2, 4.5) * nrm
-                half = np.array([2.2, 2.2, 0.75])  # isotropic car blob
-                boxes.append([
-                    [c[0] - half[0], c[1] - half[1], 0.0],
-                    [c[0] + half[0], c[1] + half[1], 1.5],
-                ])
-                next_at["car"] = d + rng.uniform(8.0, 25.0)
+                # parked cars both sides (urban KITTI streets are lined
+                # with them — the dominant longitudinal texture); keep the
+                # near edge outside the 2.6 m driving corridor or the
+                # clearance filter below drops them
+                for side in (-1.0, 1.0):
+                    if rng.uniform() < 0.7:
+                        hw = rng.uniform(1.0, 1.8)
+                        c = p + side * (2.9 + hw + rng.uniform(0.0, 1.5)) * nrm
+                        c = c + heading[i] * rng.uniform(-1.5, 1.5)
+                        boxes.append([
+                            [c[0] - hw, c[1] - hw, 0.0],
+                            [c[0] + hw, c[1] + hw, rng.uniform(1.3, 1.8)],
+                        ])
+                next_at["car"] = d + rng.uniform(4.0, 11.0)
             if d >= next_at["pole"]:
                 side = rng.choice([-1.0, 1.0])
-                c = p + side * rng.uniform(4.5, 6.0) * nrm
+                c = p + side * rng.uniform(4.5, 6.5) * nrm
                 boxes.append([
                     [c[0] - 0.15, c[1] - 0.15, 0.0],
                     [c[0] + 0.15, c[1] + 0.15, rng.uniform(4.0, 7.0)],
                 ])
-                next_at["pole"] = d + rng.uniform(10.0, 20.0)
+                next_at["pole"] = d + rng.uniform(7.0, 14.0)
+            if d >= next_at["clutter"]:
+                # bins / bushes / hedges near the curb
+                side = rng.choice([-1.0, 1.0])
+                c = p + side * rng.uniform(4.0, 7.5) * nrm
+                c = c + heading[i] * rng.uniform(-2.0, 2.0)
+                hw = rng.uniform(0.3, 1.1)
+                boxes.append([
+                    [c[0] - hw, c[1] - hw, 0.0],
+                    [c[0] + hw, c[1] + hw, rng.uniform(0.6, 1.6)],
+                ])
+                next_at["clutter"] = d + rng.uniform(3.0, 8.0)
         else:  # highway: guardrails + rare signs
             if d >= next_at["rail"]:
                 for side in (-1.0, 1.0):

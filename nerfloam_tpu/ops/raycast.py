@@ -89,16 +89,22 @@ def place_samples_cdf(
     t_cap: jnp.ndarray,
     key: jax.Array,
     jitter: bool = True,
+    u: jnp.ndarray | None = None,
 ):
-    """Pass 2: stratified quantile placement + exact fine-voxel lookup."""
+    """Pass 2: stratified quantile placement + exact fine-voxel lookup.
+
+    ``u``: optional externally-drawn (R, M) jitter in (0, 1) — the
+    multi-chip BA path draws it at GLOBAL ray shape and slices per device
+    so any dp reproduces the single-chip sample stream exactly."""
     R, S = cdf.shape
     M = rc.n_samples
     cstep, _ = _coarse_shape(rc)
     ray_mask = n_occ > 0
-    if jitter:
-        u = jax.random.uniform(key, (R, M), minval=1e-4, maxval=1.0 - 1e-4)
-    else:
-        u = jnp.full((R, M), 0.5)
+    if u is None:
+        if jitter:
+            u = jax.random.uniform(key, (R, M), minval=1e-4, maxval=1.0 - 1e-4)
+        else:
+            u = jnp.full((R, M), 0.5)
     q = (jnp.arange(M, dtype=jnp.float32)[None, :] + u) / M * n_occ[:, None]
     j = jnp.sum((cdf[:, None, :] < q[:, :, None]).astype(jnp.int32), axis=-1)
     j = jnp.clip(j, 0, S - 1)
@@ -126,6 +132,7 @@ def sample_rays_cdf(
     t_cap: jnp.ndarray,    # (R,) per-ray max useful depth
     key: jax.Array,
     jitter: bool = True,
+    u: jnp.ndarray | None = None,
 ):
     """Inverse-CDF stratified sampling over occupied voxels along each ray.
 
@@ -150,7 +157,7 @@ def sample_rays_cdf(
     """
     cdf, n_occ = march_occupancy(state, map_cfg, rc, rays_o, rays_d, t_cap)
     return place_samples_cdf(
-        state, map_cfg, rc, cdf, n_occ, rays_o, rays_d, t_cap, key, jitter
+        state, map_cfg, rc, cdf, n_occ, rays_o, rays_d, t_cap, key, jitter, u
     )
 
 

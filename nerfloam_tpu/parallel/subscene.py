@@ -22,6 +22,37 @@ from nerfloam_tpu.core.frame import Frame, pose6_from_matrix_np
 from nerfloam_tpu.core.pipeline import NerfLoamSLAM
 
 
+def run_sequences_parallel(jobs, devices=None):
+    """Multi-sequence device-parallel batch (BASELINE.json config 5):
+    independent sequences (or subscene chains) run concurrently, one per
+    chip, with NO cross-device communication — each pipeline's arrays and
+    jitted programs are pinned to its device via jax.default_device, and
+    one host thread per sequence keeps every chip's dispatch queue full.
+
+    ``jobs``: list of (cfg, dataset) pairs. Returns a list of
+    {"poses": [...], "mesh": (verts, faces)} in job order.
+    """
+    import concurrent.futures
+
+    import jax
+
+    devices = devices or jax.devices()
+
+    def _one(i, cfg, dataset):
+        dev = devices[i % len(devices)]
+        with jax.default_device(dev):
+            slam = NerfLoamSLAM(cfg, dataset)
+            poses = slam.run()
+            verts, faces = slam.extract_mesh()
+        return {"poses": poses, "mesh": (verts, faces), "device": str(dev)}
+
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=min(len(jobs), len(devices))
+    ) as ex:
+        futs = [ex.submit(_one, i, c, d) for i, (c, d) in enumerate(jobs)]
+        return [f.result() for f in futs]
+
+
 class SubsceneRunner:
     def __init__(self, cfg, dataset, logger=None, frames_per_subscene: int = 500):
         self.cfg = cfg

@@ -112,10 +112,19 @@ DEFAULTS = {
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads
         "track_resample_rays": False,    # reference-exact per-iter resampling
         "ba_ray_superset": 2,            # BA hoisted-march superset (0=exact)
+        "dp": 1,                         # BA ray data-parallelism over a
+        #                                  device mesh (1 = single chip,
+        #                                  fused megastep)
         "coarse_factor": 1.0,            # occupancy-march step / voxel_size
-        "track_method": "adam",          # "adam" (reference) | "gn" (LM solver)
+        "track_method": "gn",            # "gn" (LM solver, default: ~10x lower
+        #                                  curved-trajectory ATE at equal cost,
+        #                                  docs/PERF.md A/B) | "adam" (reference
+        #                                  parity, render_helpers.py:428-514)
         "track_gn_iterations": 16,
-        "const_vel_full": False,         # SE(3) warm start incl. rotation
+        "const_vel_full": True,          # SE(3) warm start incl. rotation
+        #                                  (A/B docs/PERF.md: best raw ATE;
+        #                                  False = reference parity,
+        #                                  translation-only tracking.py:113)
         "mesh_backend": "mt",        # "mt" (device marching tetrahedra)
         "seed": 777,
     },

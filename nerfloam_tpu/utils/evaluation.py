@@ -23,8 +23,12 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
     return float(np.sqrt(np.mean(np.sum((p_est - p_gt) ** 2, axis=-1))))
 
 
-def umeyama_align(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """SE(3) (no scale) Umeyama alignment of src onto dst."""
+def umeyama_transform(src: np.ndarray, dst: np.ndarray):
+    """SE(3) (no scale) Umeyama alignment of src onto dst: returns (R, t).
+
+    Besides trajectory alignment, this is how a mesh built in a drifted
+    estimated frame is brought into the GT frame for SHINE-protocol
+    comparison (apply the TRAJECTORY's transform to the mesh samples)."""
     mu_s, mu_d = src.mean(0), dst.mean(0)
     cov = (dst - mu_d).T @ (src - mu_s) / len(src)
     U, _, Vt = np.linalg.svd(cov)
@@ -33,6 +37,12 @@ def umeyama_align(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
         S[2, 2] = -1
     R = U @ S @ Vt
     t = mu_d - R @ mu_s
+    return R, t
+
+
+def umeyama_align(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """SE(3) (no scale) Umeyama alignment of src onto dst."""
+    R, t = umeyama_transform(src, dst)
     return src @ R.T + t
 
 

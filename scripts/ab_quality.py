@@ -42,7 +42,7 @@ def run_one(cfg_path, overrides, seed):
     from nerfloam_tpu.utils.config import load_config
 
     cfg = load_config(
-        cfg_path, list(overrides) + [f"data_specs.seed={seed}"]
+        cfg_path, list(overrides) + [f"tpu_specs.seed={seed}"]
     )
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)

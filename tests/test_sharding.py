@@ -64,3 +64,90 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert int(out[2].sum()) > 0  # some rays hit the synthetic world
+
+
+def _ba_problem():
+    import __graft_entry__ as g
+    from nerfloam_tpu.core import ba as ba_mod
+
+    (map_cfg, rc, state, dec_params, dec_meta, pose6, _r, _c, _v, frame) = (
+        g._build_tiny_problem(n_rays=256)
+    )
+    fpts, fcos, fval = frame
+    bp = ba_mod.BAParams(
+        n_frames=1, n_rays=256, num_iterations=4, truncation=0.3,
+        max_depth=rc.max_depth, fs_weight=1.0, sdf_weight=1000.0,
+    )
+    args = (
+        pose6[None], fpts[None], fcos[None], fval[None],
+        jnp.ones((1,), bool), jnp.ones((1,), bool), jnp.asarray(True),
+        jnp.asarray([0.02, 0.005, 0.001], jnp.float32), jax.random.key(3),
+    )
+    return map_cfg, rc, bp, state, dec_params, dec_meta, args
+
+
+@pytest.mark.parametrize("superset", [2, 0])
+def test_sharded_ba_step_matches_single_chip(superset):
+    """The PRODUCTION sharded BA step (rays dp-sharded, grads psum'd) must
+    reproduce the single-chip ba_step: sampling is global-draw-then-slice,
+    so any dp trains on the same rays and only float reduction order
+    differs (VERDICT r2 item 3)."""
+    from jax.sharding import Mesh
+    from nerfloam_tpu.core import ba as ba_mod
+
+    map_cfg, rc, bp, state, dec_params, dec_meta, args = _ba_problem()
+    bp = bp._replace(ray_superset=superset)
+
+    ref = ba_mod.ba_step(
+        state, map_cfg, rc, bp, dec_params, dec_meta, *args
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+    step = ba_mod.make_sharded_ba_step(mesh, map_cfg, rc, bp, dec_meta)
+    out = step(state, dec_params, *args)
+
+    # Tolerances: psum reduction order differs from a single-device sum at
+    # the ULP level, and Adam's first-step update is g/|g| — a sign flip on
+    # a near-zero gradient moves that one parameter by the full lr. So we
+    # require tight agreement in aggregate (poses, loss, the bulk of the
+    # table) rather than elementwise bitwise equality.
+    np.testing.assert_allclose(
+        np.asarray(out.loss), np.asarray(ref.loss), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.poses), np.asarray(ref.poses), atol=1e-3
+    )
+    diff = np.abs(np.asarray(out.embeddings) - np.asarray(ref.embeddings))
+    assert float(diff.mean()) < 5e-4, diff.mean()
+    assert float((diff > 1e-2).mean()) < 0.01, (diff > 1e-2).mean()
+    assert abs(int(out.touched_count) - int(ref.touched_count)) <= 2
+
+
+def test_pipeline_dp_runs_and_tracks():
+    """Flag-gated multi-chip pipeline (tpu_specs.dp=4): staged tracked path
+    with the sharded BA step processes frames and stays on-trajectory."""
+    import os
+
+    from nerfloam_tpu.core.pipeline import NerfLoamSLAM
+    from nerfloam_tpu.data import get_dataset
+    from nerfloam_tpu.utils import evaluation as ev
+    from nerfloam_tpu.utils.config import load_config
+
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "synthetic",
+        "synthetic_small.yaml",
+    )
+    cfg = load_config(cfg_path, [
+        "data_specs.n_frames=6",
+        "tpu_specs.bootstrap_steps=4",
+        "tracker_specs.num_iterations=10",
+        "mapper_specs.num_iterations=10",
+        "tpu_specs.dp=4",
+    ])
+    dataset = get_dataset(cfg)
+    slam = NerfLoamSLAM(cfg, dataset)
+    assert slam.mesh is not None and slam.mesh.shape["dp"] == 4
+    poses = slam.run()
+    est = np.asarray(poses)
+    gt = dataset.gt_trajectory()[: len(est)]
+    assert ev.ate_rmse(est, gt, align=False) < 0.6

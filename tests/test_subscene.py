@@ -39,3 +39,38 @@ def test_subscene_runner_chains_submaps():
     assert len(verts) > 100
     assert len(faces) > 100
     assert faces.max() < len(verts)
+
+
+def test_multi_sequence_device_parallel():
+    """BASELINE config 5: independent sequences on separate devices with
+    no communication — both finish and track their own trajectories."""
+    import jax
+    import numpy as np
+
+    from nerfloam_tpu.data import get_dataset
+    from nerfloam_tpu.parallel.subscene import run_sequences_parallel
+    from nerfloam_tpu.utils import evaluation as ev
+    from nerfloam_tpu.utils.config import load_config
+
+    jobs = []
+    for seed in (3, 4):
+        cfg = load_config(CFG_PATH, [
+            "data_specs.n_frames=5",
+            f"data_specs.seed={seed}",
+            "tpu_specs.bootstrap_steps=2",
+            "tracker_specs.num_iterations=5",
+            "mapper_specs.num_iterations=5",
+        ])
+        jobs.append((cfg, get_dataset(cfg)))
+
+    out = run_sequences_parallel(jobs, devices=jax.devices()[:2])
+    assert len(out) == 2
+    assert out[0]["device"] != out[1]["device"]
+    for (cfg, ds), res in zip(jobs, out):
+        est = np.asarray(res["poses"])
+        assert len(est) == 5
+        gt = ds.gt_trajectory()[: len(est)]
+        assert ev.ate_rmse(est, gt, align=False) < 0.6
+
+
+CFG_PATH = "configs/synthetic/synthetic_small.yaml"
