@@ -37,8 +37,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_SCANS_PER_SEC = 1.0  # documented estimate, see module docstring
 
 BENCH_OVERRIDES = [
-    # KITTI-budget knobs on the synthetic world
-    "data_specs.n_frames=36",
+    # KITTI-budget knobs on the synthetic world; 150 frames so the timing
+    # captures map-growth scaling (refresh/recenter cost vs map size), not
+    # just the small-map steady state (VERDICT r1 weak #9)
+    "data_specs.n_frames=150",
     "data_specs.max_depth=40.0",
     "data_specs.min_depth=2.0",
     "data_specs.n_beams=64",
@@ -57,7 +59,9 @@ BENCH_OVERRIDES = [
     "debug_args.mesh_freq=-1",
     "tpu_specs.points_pad=65536",
     "tpu_specs.kf_points_pad=65536",
-    "tpu_specs.map_capacity=1048576",
+    "tpu_specs.map_capacity=2097152",  # sized for 150 frames: mid-bench
+    #                                     growth would time a re-jit, not
+    #                                     the steady pipeline
     "tpu_specs.track_samples=64",
     "tpu_specs.map_samples=48",
     "tpu_specs.bootstrap_steps=4",

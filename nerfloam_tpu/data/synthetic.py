@@ -276,7 +276,8 @@ def make_kitti_world(
                     [c[0] + hw, c[1] + hw, rng.uniform(0.6, 1.6)],
                 ])
                 next_at["clutter"] = d + rng.uniform(3.0, 8.0)
-        else:  # highway: guardrails + rare signs
+        else:  # highway (KITTI 01 statistics): near-continuous guardrails,
+            #   embankment vegetation, signs — sparse but never featureless
             if d >= next_at["rail"]:
                 for side in (-1.0, 1.0):
                     c = p + side * 6.5 * nrm + heading[i] * 6.0
@@ -290,14 +291,26 @@ def make_kitti_world(
                         [c[0] - half[0], c[1] - half[1], 0.0],
                         [c[0] + half[0], c[1] + half[1], 0.8],
                     ])
-                if rng.uniform() < 0.25:
+                if rng.uniform() < 0.3:
                     side = rng.choice([-1.0, 1.0])
                     c = p + side * 8.0 * nrm
                     boxes.append([
                         [c[0] - 1.5, c[1] - 0.2, 0.0],
                         [c[0] + 1.5, c[1] + 0.2, 6.0],
                     ])
-                next_at["rail"] = d + rng.uniform(25.0, 40.0)
+                next_at["rail"] = d + rng.uniform(12.0, 16.0)
+            if d >= next_at["clutter"]:
+                # embankment bushes / reflector posts — the longitudinal
+                # texture that keeps a highway trackable
+                side = rng.choice([-1.0, 1.0])
+                c = p + side * rng.uniform(8.0, 14.0) * nrm
+                c = c + heading[i] * rng.uniform(-3.0, 3.0)
+                hw = rng.uniform(0.4, 1.6)
+                boxes.append([
+                    [c[0] - hw, c[1] - hw, 0.0],
+                    [c[0] + hw, c[1] + hw, rng.uniform(0.8, 2.5)],
+                ])
+                next_at["clutter"] = d + rng.uniform(6.0, 14.0)
 
     boxes = np.asarray(boxes, np.float64).reshape(-1, 2, 3)
     # drop anything encroaching on the driving corridor (2.6 m of any pose)

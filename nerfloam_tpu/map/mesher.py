@@ -130,10 +130,10 @@ def extract_mesh(
     span = float((flat.max(axis=0) - vmin).max())
     quantum = max(1e-4, span / (COORD_MASK - 1))
     keys = np.round((flat - vmin) / quantum).astype(np.int64)
-    uniq, inverse = np.unique(weld_key_np(keys), return_inverse=True)
-    idx_sorted = np.argsort(inverse, kind="stable")
-    first_pos = np.searchsorted(inverse[idx_sorted], np.arange(len(uniq)))
-    verts = flat[idx_sorted[first_pos]]
+    _, first_idx, inverse = np.unique(
+        weld_key_np(keys), return_index=True, return_inverse=True
+    )
+    verts = flat[first_idx]
     faces = inverse.reshape(-1, 3).astype(np.int32)
     # drop degenerate faces
     good = (

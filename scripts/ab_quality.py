@@ -32,6 +32,11 @@ VARIANTS = {
     ],
     "exact": ["tpu_specs.exact_embedding_grads=true"],
     "resample": ["tpu_specs.track_resample_rays=true"],
+    "anchor": ["tpu_specs.surface_anchor=1"],
+    "anchor8": ["tpu_specs.surface_anchor=8"],
+    "band4": ["tpu_specs.band_samples=4"],
+    "band8": ["tpu_specs.band_samples=8"],
+    "anchor2band4": ["tpu_specs.surface_anchor=2", "tpu_specs.band_samples=4"],
 }
 
 

@@ -52,7 +52,8 @@ def observed_gt_cloud(dataset, stride: int = 4, per_frame: int = 6000,
 
 
 def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
-             f_threshold: float = 0.2, crop_radius: float = 25.0):
+             f_threshold: float = 0.2, crop_radius: float = 25.0,
+             dump_traj: str | None = None):
     from nerfloam_tpu.core.pipeline import NerfLoamSLAM
     from nerfloam_tpu.data import get_dataset
     from nerfloam_tpu.utils import evaluation as ev
@@ -67,6 +68,8 @@ def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
 
     est = np.asarray(poses)
     gt = dataset.gt_trajectory()[: len(est)]
+    if dump_traj:
+        np.savez(dump_traj, est=est, gt=gt)
     out = {
         "n_frames": len(est),
         "wall_s": round(wall, 1),
@@ -96,9 +99,12 @@ def main():
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--out", default=None, help="write a markdown report here")
     p.add_argument("--f-threshold", type=float, default=0.2)
+    p.add_argument("--dump-traj", default=None,
+                   help="save est+gt trajectories to this .npz")
     args = p.parse_args()
 
-    res = run_eval(args.config, args.set, f_threshold=args.f_threshold)
+    res = run_eval(args.config, args.set, f_threshold=args.f_threshold,
+                   dump_traj=args.dump_traj)
     print(json.dumps(res, indent=2))
     if args.out:
         lines = [

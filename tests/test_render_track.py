@@ -163,7 +163,11 @@ def test_tracking_gn_recovers_pose(scene):
     world, frames = scene
     m = build_map(frames)
     params, meta = init_decoder(jax.random.key(0))
-    r = _ba(m, params, meta, frames[:4], 80, jax.random.key(7))
+    # LM descends to the FIELD's basin in a handful of iterations, so this
+    # test needs a field whose basin is actually at GT: 80 BA iterations
+    # leaves it underfit (~0.24 m offset basin — measured), 200 converges
+    # (GN lands 0.04 m from GT)
+    r = _ba(m, params, meta, frames[:4], 200, jax.random.key(7))
     m = m._replace(embeddings=r.embeddings, packed=r.packed)
     params = r.decoder_params
 
@@ -183,7 +187,4 @@ def test_tracking_gn_recovers_pose(scene):
     err_before = float(jnp.linalg.norm(init6[:3] - gt6[:3]))
     err_after = float(jnp.linalg.norm(res.pose[:3] - gt6[:3]))
     assert int(res.hit_count) > 100
-    # LM converges in a handful of iterations; on this deliberately crude
-    # 4-frame field the basin is offset from GT, so assert improvement
-    # rather than the tight Adam-60 bound
-    assert err_after < err_before * 0.8, (err_before, err_after)
+    assert err_after < err_before * 0.6, (err_before, err_after)
