@@ -18,5 +18,27 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated suite runs skip identical XLA compiles
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running gate (set NERFLOAM_RUN_SLOW=1 to include)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("NERFLOAM_RUN_SLOW"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow gate; set NERFLOAM_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

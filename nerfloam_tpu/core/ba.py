@@ -72,6 +72,13 @@ class BAParams(NamedTuple):
     #   + fresh march (render_helpers.py:366-388)
     reconcile_mode: str = "mean"  # shared-corner delta combining (see
     #   voxel_map.reconcile_packed): "mean" | "sum"
+    surface_anchor: int = 0  # extra samples per ray AT the measured point
+    #   (core/render.extra_surface_columns), repeated this many times as the
+    #   anchor's loss weight: pins the SDF zero crossing, curing the
+    #   ~3 cm/frame along-track drift bias (docs/PERF.md). 0 = off
+    band_samples: int = 0  # extra stratified samples per ray across the
+    #   cosine-widened truncation band around the measured depth
+    #   (core/render.band_sample_z); 0 = off
 
 
 class BAResult(NamedTuple):
@@ -207,8 +214,32 @@ def _ba_core(
             flat(origins), flat(wdirs), t_cap, flat(rvalid), k, compute_dtype,
             occupancy=occupancy, jitter_u=u_loc,
         )
+        z_vals, sdf_v, valid_m = out.z_vals, out.sdf, out.valid_mask
+        if bp.surface_anchor or bp.band_samples:
+            from nerfloam_tpu.core.render import extra_surface_columns
+
+            ub_loc = None
+            if bp.band_samples:
+                # same global-draw-then-slice as u_full: any dp reproduces
+                # the single-chip band jitter exactly
+                ub_full = jax.random.uniform(
+                    jax.random.fold_in(k, 7), (W, bp.n_rays, bp.band_samples)
+                )
+                ub_loc = _local_cols(ub_full, axis_name, n_local).reshape(
+                    W * N, bp.band_samples
+                )
+            ez, esdf, eval_ = extra_surface_columns(
+                st, map_cfg, dec, decoder_meta, flat(origins), flat(wdirs),
+                jnp.linalg.norm(flat(pts), axis=-1), flat(pcos),
+                flat(rvalid), bp.truncation, bp.surface_anchor,
+                bp.band_samples, jax.random.fold_in(k, 7), compute_dtype,
+                band_u=ub_loc,
+            )
+            z_vals = jnp.concatenate([z_vals, ez], axis=1)
+            sdf_v = jnp.concatenate([sdf_v, esdf], axis=1)
+            valid_m = jnp.concatenate([valid_m, eval_], axis=1)
         loss, _ = sdf_losses(
-            out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
+            z_vals, sdf_v, valid_m, out.ray_mask,
             flat(pts), flat(pcos), bp.truncation, bp.max_depth,
             bp.fs_weight, bp.sdf_weight, axis_name=axis_name,
         )

@@ -90,6 +90,8 @@ class NerfLoamSLAM:
             feat_dim=int(cfg.decoder_specs["in_dim"]),
             emb_dtype=tpu["emb_dtype"],
             active_cap=min(int(tpu.get("active_cap", 1 << 18)), int(tpu["map_capacity"])),
+            support_dist=float(tpu.get("support_dist", 0.0)),
+            support_sym=bool(tpu.get("support_sym", False)),
         )
 
         # occupancy-march spacing: coarse_factor * voxel_size (1.0 default;
@@ -122,6 +124,8 @@ class NerfLoamSLAM:
             sdf_weight=float(crit["sdf_weight"]),
             compute_dtype=self.compute_dtype,
             resample_rays=bool(tpu.get("track_resample_rays", False)),
+            surface_anchor=int(tpu.get("surface_anchor", 0)),
+            band_samples=int(tpu.get("band_samples", 0)),
         )
         self.track_method = str(tpu.get("track_method", "adam"))
         if self.track_method not in ("adam", "gn"):
@@ -159,6 +163,8 @@ class NerfLoamSLAM:
             exact_embedding_grads=bool(tpu.get("exact_embedding_grads", False)),
             ray_superset=int(tpu.get("ba_ray_superset", 2)),
             reconcile_mode=str(tpu.get("reconcile_mode", "mean")),
+            surface_anchor=int(tpu.get("surface_anchor", 0)),
+            band_samples=int(tpu.get("band_samples", 0)),
         )
         self.bp_current = ba_mod.BAParams(
             n_frames=1,
@@ -282,12 +288,12 @@ class NerfLoamSLAM:
         still on device) so the transform needs no host round trip.
         ``check_overflow=False`` defers the num_lat fetch to the caller's
         end-of-frame sync (call :meth:`check_map_overflow` after)."""
-        pts_d, _, val = frame.device_arrays()
+        pts_d, cos_d, val = frame.device_arrays()
         p6 = pose_dev if pose_dev is not None else jnp.asarray(frame.pose6)
         self.state.map_state = _insert_frame_jit(
-            self.state.map_state, self.map_cfg, pts_d, val, p6
+            self.state.map_state, self.map_cfg, pts_d, cos_d, val, p6
         )
-        self._pending_insert = (pts_d, val, p6)
+        self._pending_insert = (pts_d, cos_d, val, p6)
         if check_overflow:
             self.check_map_overflow()
 
@@ -305,9 +311,9 @@ class NerfLoamSLAM:
                 self.state.map_state, self.map_cfg, new_cap
             )
             self.state.map_cfg = self.map_cfg
-            pts, val, p6 = self._pending_insert
+            pts, cos, val, p6 = self._pending_insert
             self.state.map_state = _insert_frame_jit(
-                self.state.map_state, self.map_cfg, pts, val, p6
+                self.state.map_state, self.map_cfg, pts, cos, val, p6
             )
 
     def check_active_overflow(self, n_active: int):
@@ -560,7 +566,7 @@ class NerfLoamSLAM:
                 update_decoder, ba_lrs, k_ba,
             )
             st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
-            st = vm.insert_frame(st, map_cfg, pts, val_m, ba.poses[0])
+            st = vm.insert_frame(st, map_cfg, pts, cos, val_m, ba.poses[0])
             return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
                     ba.touched_count)
 
@@ -624,7 +630,7 @@ class NerfLoamSLAM:
                 )
                 st.map_state = new_state
                 st.decoder_params = dec_params
-                self._pending_insert = (pts_d, val_m, ba_poses[0])
+                self._pending_insert = (pts_d, cos_d, val_m, ba_poses[0])
             with self.prof.section("sync"):
                 got = jax.device_get(
                     (tpose, thits, ba_poses, new_state.num_lat,

@@ -66,6 +66,95 @@ def field_at(
     return decoder_apply(decoder_params, decoder_meta, feats, compute_dtype)[..., 0]
 
 
+def band_sample_z(
+    key: jax.Array,
+    depth: jnp.ndarray,   # (R,) measured sensor distance ||p||
+    cos: jnp.ndarray,     # (R,) ground-normal cosine weights
+    truncation: float,
+    n: int,
+    u: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(R, n) stratified depths spanning the cosine-widened truncation band.
+
+    The inverse-CDF samples spread over ALL occupied corridor along the ray
+    (tens of meters of grazing ground voxels on an outdoor scan), so only a
+    few land inside the truncation band — the zero crossing is constrained
+    mostly by the free-space side and the fitted surface can sit several cm
+    off with a nearly flat along-track pose valley (the ~3 cm/frame drift
+    measured on the KITTI replica). Explicit band samples at
+    z = d ± truncation/cos · u put guaranteed constraint density on BOTH
+    sides of every measured surface point. The reference has no analog (its
+    sampler is occupied-voxel-uniform, sample_gpu.cu:133-239); this is a
+    deliberate quality improvement, flag-gated by tpu_specs.band_samples.
+    """
+    if u is None:
+        u = jax.random.uniform(key, depth.shape + (n,))
+    off = (jnp.arange(n, dtype=jnp.float32) + u) / n * 2.0 - 1.0
+    half = truncation / jnp.maximum(cos, 0.05)
+    return depth[:, None] + off * half[:, None]
+
+
+def band_samples(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    decoder_params,
+    decoder_meta,
+    rays_o: jnp.ndarray,   # (R, 3)
+    rays_d: jnp.ndarray,   # (R, 3)
+    z: jnp.ndarray,        # (R, K) band depths (band_sample_z)
+    ray_valid: jnp.ndarray,
+    compute_dtype=jnp.float32,
+):
+    """Evaluate the field at explicit band depths: (z, sdf, valid) columns
+    shaped like render_rays output, for concatenation into the band loss."""
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
+    aid = vm.lookup_active(state, map_cfg, cells)
+    valid = (aid >= 0) & ray_valid[:, None] & (z > 0)
+    sdf = field_at(
+        state, map_cfg, decoder_params, decoder_meta, xyz, aid, compute_dtype
+    )
+    sdf = jnp.where(valid, sdf, 1.0)
+    return jnp.where(valid, z, MAX_DEPTH), sdf, valid
+
+
+def extra_surface_columns(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    decoder_params,
+    decoder_meta,
+    origin: jnp.ndarray,    # (R, 3)
+    wdirs: jnp.ndarray,     # (R, 3)
+    dnorm: jnp.ndarray,     # (R,) measured sensor distance ||p||
+    pcos: jnp.ndarray,      # (R,) ground-normal cosines
+    ray_valid: jnp.ndarray,
+    truncation: float,
+    n_anchor: int,
+    n_band: int,
+    key: jax.Array,
+    compute_dtype=jnp.float32,
+    band_u: jnp.ndarray | None = None,
+):
+    """(z, sdf, valid) columns for the anchor + band extra samples, ready to
+    concatenate onto a RenderOutput before the band loss. Shared by the Adam
+    tracker and BA (the GN tracker builds its own columns — it needs ids,
+    not sdf values). ``band_u``: optional externally-drawn (R, n_band)
+    jitter (multi-chip BA draws it at global ray shape and slices per
+    device, like render_rays' jitter_u)."""
+    cols = []
+    if n_anchor:
+        cols.append(jnp.repeat(dnorm[:, None], n_anchor, axis=1))
+    if n_band:
+        cols.append(
+            band_sample_z(key, dnorm, pcos, truncation, n_band, u=band_u)
+        )
+    z = jnp.concatenate(cols, axis=1)
+    return band_samples(
+        state, map_cfg, decoder_params, decoder_meta,
+        origin, wdirs, z, ray_valid, compute_dtype,
+    )
+
+
 def render_rays(
     state: vm.MapState,
     map_cfg: vm.MapConfig,

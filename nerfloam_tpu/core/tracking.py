@@ -52,6 +52,14 @@ class TrackParams(NamedTuple):
     #   False = one ray batch + one march per step, jittered sample
     #   placement per iteration — ~2x faster, statistically equivalent for
     #   a 6-DoF problem with 2048 rays (validated on synthetic ATE)
+    surface_anchor: int = 0  # extra samples AT each measured point
+    #   (core/render.anchor_samples): pins the SDF zero crossing. The int
+    #   is the loss weight (the anchor column is repeated that many times
+    #   against the ~M stochastic band samples); 0 = off
+    band_samples: int = 0  # extra stratified samples per ray across the
+    #   cosine-widened truncation band around the measured depth
+    #   (core/render.band_sample_z): guaranteed constraint density on both
+    #   sides of every surface point; 0 = off
 
 
 class TrackResult(NamedTuple):
@@ -153,7 +161,7 @@ def track_frame_gn(
 
     def body(i, carry):
         pose6, lam, key, _, _ = carry
-        key, k_place = jax.random.split(key)
+        key, k_place, k_band = jax.random.split(key, 3)
         wdirs = se3.rotate_dirs(pose6, dirs)
         origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
         z, flid, vmask, ray_mask = place_samples_cdf(
@@ -162,6 +170,31 @@ def track_frame_gn(
         )
         ray_mask = ray_mask & rvalid
         vmask = vmask & rvalid[:, None]
+        if tp.surface_anchor or tp.band_samples:
+            from nerfloam_tpu.core.render import band_sample_z
+            from nerfloam_tpu.map import voxel_map as _vm
+
+            dnorm = jnp.linalg.norm(pts, axis=-1)
+            extra = []
+            if tp.surface_anchor:
+                # samples AT the measured point: residual sdf*T lands in
+                # the band-loss machinery below with zc = d exactly;
+                # repeated tp.surface_anchor times as the anchor's weight
+                extra.append(
+                    jnp.repeat(dnorm[:, None], tp.surface_anchor, axis=1)
+                )
+            if tp.band_samples:
+                extra.append(
+                    band_sample_z(k_band, dnorm, pcos, T, tp.band_samples)
+                )
+            ez = jnp.concatenate(extra, axis=1)                  # (N, K)
+            exyz = origin[:, None, :] + wdirs[:, None, :] * ez[..., None]
+            ecell = jnp.floor(exyz / map_cfg.voxel_size).astype(jnp.int32)
+            eaid = _vm.lookup_active(map_state, map_cfg, ecell)
+            eval_ = (eaid >= 0) & rvalid[:, None] & (ez > 0)
+            z = jnp.concatenate([z, ez], axis=1)
+            flid = jnp.concatenate([flid, eaid], axis=1)
+            vmask = jnp.concatenate([vmask, eval_], axis=1)
 
         xyz, t_pos, r, w, jscale = _residual_parts(pose6, z, flid, vmask)
         _, g = field_and_grad(xyz, flid)
@@ -252,6 +285,7 @@ def track_frame(
         occupancy = None
 
     def loss_fn(pose6, ridx, rvalid, k):
+        k, k_extra = jax.random.split(k)
         if tp.resample_rays:
             pts = points[ridx]                   # (N, 3)
             pcos = points_cos[ridx]
@@ -266,8 +300,21 @@ def track_frame(
             origin, wdirs, t_cap, rvalid, k, compute_dtype,
             occupancy=occupancy,
         )
+        z_vals, sdf_v, valid_m = out.z_vals, out.sdf, out.valid_mask
+        if tp.surface_anchor or tp.band_samples:
+            from nerfloam_tpu.core.render import extra_surface_columns
+
+            ez, esdf, eval_ = extra_surface_columns(
+                map_state, map_cfg, decoder_params, decoder_meta,
+                origin, wdirs, jnp.linalg.norm(pts, axis=-1), pcos, rvalid,
+                tp.truncation, tp.surface_anchor, tp.band_samples,
+                k_extra, compute_dtype,
+            )
+            z_vals = jnp.concatenate([z_vals, ez], axis=1)
+            sdf_v = jnp.concatenate([sdf_v, esdf], axis=1)
+            valid_m = jnp.concatenate([valid_m, eval_], axis=1)
         loss, _ = sdf_losses(
-            out.z_vals, out.sdf, out.valid_mask, out.ray_mask,
+            z_vals, sdf_v, valid_m, out.ray_mask,
             pts, pcos, tp.truncation, tp.max_depth,
             tp.fs_weight, tp.sdf_weight,
         )

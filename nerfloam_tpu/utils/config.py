@@ -121,6 +121,21 @@ DEFAULTS = {
         #                                  docs/PERF.md A/B) | "adam" (reference
         #                                  parity, render_helpers.py:428-514)
         "track_gn_iterations": 16,
+        "surface_anchor": 0,             # extra render samples AT each
+        #                                  measured point; int = loss
+        #                                  weight, 0 = off
+        "band_samples": 0,               # extra stratified samples across
+        #                                  the truncation band around each
+        #                                  measured depth, 0 = off
+        "support_dist": 0.0,             # meters past each measured point
+        #                                  to allocate a support voxel
+        #                                  (below ground / behind walls) so
+        #                                  the negative SDF band is
+        #                                  sampleable; 0 = off
+        "support_sym": False,            # also allocate the sensor-side
+        #                                  mirror voxel (above ground / in
+        #                                  front of walls)
+
         "const_vel_full": True,          # SE(3) warm start incl. rotation
         #                                  (A/B docs/PERF.md: best raw ATE;
         #                                  False = reference parity,

@@ -1,0 +1,95 @@
+"""KITTI-statistics replica regression gates (VERDICT r2 item 1).
+
+Runs the replica config (configs/synthetic/kitti_replica_ci) through the
+FULL pipeline — startup ramp, urban straights, a 90-degree turn — and pins
+trajectory + mesh quality. This is the stand-in for real-KITTI parity in a
+container without the dataset bits: same scan statistics (64-beam pattern,
+~1 m/frame, turns), same protocol (observed-surface GT, clean_mesh culling,
+Umeyama-aligned mesh scoring).
+
+Two tiers:
+  - fast gate (always runs): 60 frames at a reduced ray/azimuth budget,
+    ~4-5 min on CPU — the per-commit regression tripwire;
+  - full gate (@pytest.mark.slow, NERFLOAM_RUN_SLOW=1 to enable): the
+    120-frame CI budget, ~25+ min on CPU / ~3 min on the real chip. The
+    recorded full-budget numbers live in EVAL_r02.md.
+
+Thresholds carry ~2x headroom over the measured numbers (fast gate,
+measured on CPU 2026-08-16: ate_raw 0.65, ate_aligned 0.55, f_score 0.73,
+chamfer 0.24, verts 108k); a regression that halves quality trips them.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _load_eval_runner():
+    spec = importlib.util.spec_from_file_location(
+        "eval_replica", os.path.join(_ROOT, "scripts", "eval_replica.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def replica_run_fast():
+    mod = _load_eval_runner()
+    return mod.run_eval(
+        os.path.join(_ROOT, "configs", "synthetic", "kitti_replica_ci.yaml"),
+        [
+            "data_specs.n_frames=60",
+            "data_specs.n_azimuth=384",
+            "tracker_specs.N_rays=768",
+            "mapper_specs.N_rays_each=768",
+        ],
+        mesh_samples_n=60000,
+    )
+
+
+def test_replica_trajectory_gate(replica_run_fast):
+    r = replica_run_fast
+    assert r["n_frames"] == 60
+    assert r["ate_raw_m"] < 1.3, r
+    assert r["ate_aligned_m"] < 1.1, r
+
+
+def test_replica_mesh_gate(replica_run_fast):
+    r = replica_run_fast
+    assert r["mesh_verts"] > 50000, r
+    assert r["f_score"] > 0.45, r
+    assert r["chamfer_l1_m"] < 0.45, r
+
+
+# Full 120-frame CI budget (EVAL_r02.md / docs/PERF.md baselines at this
+# budget: ate_raw 1.07-1.9, ate_aligned 0.18-0.27, f_score 0.57-0.63,
+# verts ~175k). Too slow for the per-commit CPU suite; run with
+# NERFLOAM_RUN_SLOW=1 (ideally on the real chip).
+@pytest.fixture(scope="module")
+def replica_run_full():
+    mod = _load_eval_runner()
+    return mod.run_eval(
+        os.path.join(_ROOT, "configs", "synthetic", "kitti_replica_ci.yaml"),
+        ["data_specs.n_frames=120"],
+        mesh_samples_n=100000,
+    )
+
+
+@pytest.mark.slow
+def test_replica_trajectory_gate_full(replica_run_full):
+    r = replica_run_full
+    assert r["n_frames"] == 120
+    assert r["ate_raw_m"] < 3.0, r
+    assert r["ate_aligned_m"] < 0.55, r
+
+
+@pytest.mark.slow
+def test_replica_mesh_gate_full(replica_run_full):
+    r = replica_run_full
+    assert r["mesh_verts"] > 80000, r
+    assert r["f_score"] > 0.35, r
+    assert r["chamfer_l1_m"] < 0.5, r
