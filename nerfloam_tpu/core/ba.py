@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import optax
 
 from nerfloam_tpu.core.losses import sdf_losses
-from nerfloam_tpu.core.render import render_rays
+from nerfloam_tpu.core.render import field_at, render_rays
 from nerfloam_tpu.core.tracking import t_cap_for
 from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.map.voxel_map import MapConfig, MapState
@@ -89,6 +89,14 @@ class BAResult(NamedTuple):
     loss: jnp.ndarray
     touched_count: jnp.ndarray  # () int32 — voxels touched this BA step;
     #   > touched_cap means reconciliation dropped deltas (host warns/grows)
+    surface_bias: jnp.ndarray  # () mean field value at the active frames'
+    #   measured surface points under the refined poses, on the FINAL
+    #   field. The field's fit leaves a systematic offset at surfaces
+    #   (capacity/smoothing equilibrium — docs/PERF.md vertical-sink
+    #   section); a tracker that targets sdf = 0 displaces the pose by
+    #   -offset every frame, which integrates into drift. The pipeline
+    #   EMAs this into the NEXT frame's tracking band target (bias
+    #   transfer): mapping defines the offset, tracking consumes it.
 
 
 def _local_cols(x: jnp.ndarray, axis_name: str | None, c: int) -> jnp.ndarray:
@@ -306,7 +314,28 @@ def _ba_core(
     # WITHIN a step). This also keeps every checkpoint/resume bit-stable —
     # the packed table is always f(embeddings) at frame boundaries.
     packed = vm.pack_embeddings(map_state._replace(embeddings=new_emb), map_cfg)
-    return BAResult(new_emb, packed, dec, pos, loss, touched_count)
+
+    # surface-bias measurement on the final field (see BAResult.surface_bias):
+    # one forward eval over the active frames' measured points — points and
+    # field are replicated under shard_map, so compute it on device 0's
+    # slice-identical copy (no psum needed; identical on every device)
+    st_eval = map_state._replace(packed=packed)
+    xyz = jax.vmap(se3.transform_points)(pos, points)          # (W, P, 3)
+    cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
+    aid = vm.lookup_active(st_eval, map_cfg, cells)            # (W, P)
+    depth = jnp.linalg.norm(points, axis=-1)
+    m = (
+        points_valid & frame_active[:, None] & (aid >= 0)
+        & (depth > 0) & (depth < bp.max_depth)
+    )
+    sdf_pts = field_at(
+        st_eval, map_cfg, dec, decoder_meta, xyz, aid, compute_dtype
+    )
+    surface_bias = jnp.sum(
+        jnp.where(m, sdf_pts, 0.0).astype(jnp.float32)
+    ) / jnp.maximum(jnp.sum(m), 1).astype(jnp.float32)
+    return BAResult(new_emb, packed, dec, pos, loss, touched_count,
+                    surface_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))

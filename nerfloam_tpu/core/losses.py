@@ -42,6 +42,7 @@ def sdf_losses(
     fs_weight: float,
     sdf_weight: float,
     axis_name: str | None = None,
+    sdf_bias=0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted free-space + truncated-SDF loss. Returns (loss, loss_dict).
 
@@ -49,6 +50,12 @@ def sdf_losses(
     every count/sum reduction goes through a psum so each device computes
     the GLOBAL loss — per-device grads are then partial sums whose psum is
     exactly the single-device gradient (core/ba.py multi-chip path).
+
+    ``sdf_bias``: scalar band-target offset — the tracker passes the
+    mapped field's measured surface offset (BAResult.surface_bias EMA) so
+    pose optimization targets sdf = bias at measured points instead of 0,
+    cancelling the field-fit bias that otherwise integrates into drift.
+    Mapping always passes 0 (it DEFINES the offset).
     """
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -81,7 +88,7 @@ def sdf_losses(
     fs_loss = (allsum(jnp.sum(fs_se)) / denom) * fs_count_w
 
     sm = sdf_mask.astype(z.dtype)
-    sdf_se = jnp.square((z + sdf * truncation) * sm - d * sm)
+    sdf_se = jnp.square((z + (sdf - sdf_bias) * truncation) * sm - d * sm)
     sdf_loss = (allsum(jnp.sum(sdf_se)) / denom) * sdf_count_w
 
     loss = fs_weight * fs_loss + sdf_weight * sdf_loss

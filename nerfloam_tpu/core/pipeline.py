@@ -90,7 +90,13 @@ class NerfLoamSLAM:
             feat_dim=int(cfg.decoder_specs["in_dim"]),
             emb_dtype=tpu["emb_dtype"],
             active_cap=min(int(tpu.get("active_cap", 1 << 18)), int(tpu["map_capacity"])),
-            support_dist=float(tpu.get("support_dist", 0.0)),
+            # support_dist < 0 = auto: one voxel (guarantees the next
+            # lattice cell past the surface regardless of config)
+            support_dist=(
+                shapes["voxel_size"]
+                if float(tpu.get("support_dist", 0.0)) < 0
+                else float(tpu.get("support_dist", 0.0))
+            ),
             support_sym=bool(tpu.get("support_sym", False)),
         )
 
@@ -145,6 +151,10 @@ class NerfLoamSLAM:
             self.tp_first = tr_mod.TrackParams(num_iterations=n_iter * 5, **base_tp)
             self._track_fn = tr_mod.track_frame
         self.track_lr = float(tspec["learning_rate"])
+        # bias transfer (BAResult.surface_bias -> tracking band target):
+        # EMA of the mapped field's measured surface offset; 0 disables
+        self.bias_correction = bool(tpu.get("bias_correction", False))
+        self.sdf_bias = 0.0
         # device-resident constants (uploading a scalar per frame costs a
         # host round trip on remote-device links)
         self._lr_track_hi = jnp.asarray(self.track_lr * 2, jnp.float32)
@@ -343,6 +353,13 @@ class NerfLoamSLAM:
         self._mega_cache.clear()  # bp_current is baked into the megastep
         self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
 
+    def _update_sdf_bias(self, surface_bias: float):
+        """EMA the BA step's measured surface offset into the tracking band
+        target (bias transfer; BAResult.surface_bias docstring)."""
+        if not self.bias_correction or not np.isfinite(surface_bias):
+            return
+        self.sdf_bias = 0.8 * self.sdf_bias + 0.2 * surface_bias
+
     def check_touched_overflow(self, touched_count: int):
         """Warn + grow when a BA step touched more voxels than touched_cap
         (this frame's over-cap deltas were dropped; later frames won't be)."""
@@ -483,6 +500,8 @@ class NerfLoamSLAM:
             st.map_state, self.map_cfg, self.rc_track, tp,
             st.decoder_params, st.decoder_meta,
             jnp.asarray(init6), pts_d, cos_d, val_d, lr, self._next_key(),
+            jnp.asarray(self.sdf_bias if self.bias_correction else 0.0,
+                        jnp.float32),
         )
 
     def track_finalize(self, frame: Frame, pose_np: np.ndarray, hits: int):
@@ -553,10 +572,10 @@ class NerfLoamSLAM:
 
         @jax.jit
         def mega(map_state, decoder_params, init6, lr, pts, cos, val_t, val_m,
-                 pose_free, update_decoder, ba_lrs, k_track, k_ba):
+                 pose_free, update_decoder, ba_lrs, k_track, k_ba, sdf_bias):
             tr = track_fn(
                 map_state, map_cfg, rc_t, tp, decoder_params, dec_meta,
-                init6, pts, cos, val_t, lr, k_track,
+                init6, pts, cos, val_t, lr, k_track, sdf_bias,
             )
             st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
             ba = ba_mod.ba_step(
@@ -568,7 +587,7 @@ class NerfLoamSLAM:
             st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
             st = vm.insert_frame(st, map_cfg, pts, cos, val_m, ba.poses[0])
             return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
-                    ba.touched_count)
+                    ba.touched_count, ba.surface_bias)
 
         self._mega_cache[cache_key] = mega
         return mega
@@ -622,11 +641,15 @@ class NerfLoamSLAM:
                 pose_free = np.array([frame.index != st.first_frame_id])
                 mega = self._megastep_for(tp)
                 (new_state, tpose, thits, ba_poses, dec_params,
-                 touched_count) = mega(
+                 touched_count, surf_bias) = mega(
                     st.map_state, st.decoder_params, jnp.asarray(init6), lr,
                     pts_d, cos_d, val_t, val_m,
                     jnp.asarray(pose_free), jnp.asarray(bool(update_decoder)),
                     self._ba_lrs_dev, self._next_key(), self._next_key(),
+                    jnp.asarray(
+                        self.sdf_bias if self.bias_correction else 0.0,
+                        jnp.float32,
+                    ),
                 )
                 st.map_state = new_state
                 st.decoder_params = dec_params
@@ -634,7 +657,7 @@ class NerfLoamSLAM:
             with self.prof.section("sync"):
                 got = jax.device_get(
                     (tpose, thits, ba_poses, new_state.num_lat,
-                     new_state.n_active, touched_count)
+                     new_state.n_active, touched_count, surf_bias)
                 )
                 self.track_finalize(frame, got[0], int(got[1]))
                 # mapper copy keeps its isolation; tracked base + BA refine
@@ -644,6 +667,7 @@ class NerfLoamSLAM:
                 self.check_map_overflow(int(got[3]))
                 self.check_active_overflow(int(got[4]))
                 self.check_touched_overflow(int(got[5]))
+                self._update_sdf_bias(float(got[6]))
         else:
             # staged path: GT poses (mapping-only), or tracked frames when
             # BA runs on the dp mesh (the megastep fusion is single-chip)
@@ -670,13 +694,14 @@ class NerfLoamSLAM:
             with self.prof.section("sync"):
                 got = jax.device_get(
                     [ba_res.poses, st.map_state.num_lat,
-                     st.map_state.n_active, ba_res.touched_count]
+                     st.map_state.n_active, ba_res.touched_count,
+                     ba_res.surface_bias]
                     + ([track_res.pose, track_res.hit_count]
                        if track_res is not None else [])
                 )
                 if track_res is not None:
-                    self.track_finalize(frame, got[4], int(got[5]))
-                    mapper_frame.pose6 = np.asarray(got[4], np.float32)
+                    self.track_finalize(frame, got[5], int(got[6]))
+                    mapper_frame.pose6 = np.asarray(got[5], np.float32)
                 else:
                     # maintain tracker motion state on the GT path too so
                     # remove_back direction and a later switch to tracked
@@ -694,6 +719,7 @@ class NerfLoamSLAM:
                 self.check_map_overflow(int(got[1]))
                 self.check_active_overflow(int(got[2]))
                 self.check_touched_overflow(int(got[3]))
+                self._update_sdf_bias(float(got[4]))
 
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]

@@ -82,6 +82,10 @@ def track_frame_gn(
     points_valid: jnp.ndarray,
     learning_rate: jnp.ndarray,  # unused (kept for signature parity)
     key: jax.Array,
+    sdf_bias: jnp.ndarray | float = 0.0,  # band target offset — the mapped
+    #   field's measured surface offset (BAResult.surface_bias EMA); pose
+    #   optimization targets sdf = bias at measured points so the field's
+    #   fit bias does not integrate into per-frame drift
 ) -> TrackResult:
     """Levenberg-Marquardt pose tracking on the truncated-SDF residuals.
 
@@ -154,7 +158,7 @@ def track_frame_gn(
         tot = jnp.maximum(num_fs + num_sdf, 1).astype(jnp.float32)
         w_fs = tp.fs_weight * (1.0 - num_fs / tot)
         w_sdf = tp.sdf_weight * (1.0 - num_sdf / tot)
-        r = jnp.where(front, sdf - 1.0, (zc + sdf * T) - d)
+        r = jnp.where(front, sdf - 1.0, (zc + (sdf - sdf_bias) * T) - d)
         w = jnp.where(front, w_fs, w_sdf) * (front | band)
         jscale = jnp.where(front, 1.0, T)
         return xyz, t_pos, r, w, jscale
@@ -256,6 +260,7 @@ def track_frame(
     points_valid: jnp.ndarray,  # (P,) bool
     learning_rate: jnp.ndarray,  # () float32
     key: jax.Array,
+    sdf_bias: jnp.ndarray | float = 0.0,  # see track_frame_gn
 ) -> TrackResult:
     # tp.num_iterations is static: the first tracked frame uses a tp with 5x
     # iterations (tracking.py:127), costing one extra jit cache entry instead
@@ -316,7 +321,7 @@ def track_frame(
         loss, _ = sdf_losses(
             z_vals, sdf_v, valid_m, out.ray_mask,
             pts, pcos, tp.truncation, tp.max_depth,
-            tp.fs_weight, tp.sdf_weight,
+            tp.fs_weight, tp.sdf_weight, sdf_bias=sdf_bias,
         )
         return loss, jnp.sum(out.ray_mask)
 

@@ -87,6 +87,7 @@ def save_checkpoint(path: str, slam) -> None:
         "has_rel_pose": st.rel_pose is not None,
         "last_frame_index": st.last_frame.index if st.last_frame else -1,
         "py_rng_version": slam.pyrng.getstate()[0],
+        "sdf_bias": float(getattr(slam, "sdf_bias", 0.0)),
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -104,6 +105,8 @@ def load_checkpoint(path: str, slam) -> None:
         feat_dim=int(mc["feat_dim"]),
         emb_dtype=mc["emb_dtype"],
         active_cap=int(mc.get("active_cap", 0)),
+        support_dist=float(mc.get("support_dist", 0.0)),
+        support_sym=bool(mc.get("support_sym", False)),
     )
     st = slam.state
     st.map_cfg = slam.map_cfg
@@ -160,3 +163,4 @@ def load_checkpoint(path: str, slam) -> None:
     if "py_rng" in data:
         inner = tuple(int(x) for x in data["py_rng"])
         slam.pyrng.setstate((manifest.get("py_rng_version", 3), inner, None))
+    slam.sdf_bias = float(manifest.get("sdf_bias", 0.0))

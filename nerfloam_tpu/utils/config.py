@@ -135,6 +135,12 @@ DEFAULTS = {
         "support_sym": False,            # also allocate the sensor-side
         #                                  mirror voxel (above ground / in
         #                                  front of walls)
+        "bias_correction": False,        # tracker band target = EMA of the
+        #                                  mapped field's measured surface
+        #                                  offset (BAResult.surface_bias)
+        #                                  instead of 0 — cancels the
+        #                                  field-fit bias that integrates
+        #                                  into per-frame drift
 
         "const_vel_full": True,          # SE(3) warm start incl. rotation
         #                                  (A/B docs/PERF.md: best raw ATE;

@@ -37,6 +37,8 @@ VARIANTS = {
     "band4": ["tpu_specs.band_samples=4"],
     "band8": ["tpu_specs.band_samples=8"],
     "anchor2band4": ["tpu_specs.surface_anchor=2", "tpu_specs.band_samples=4"],
+    "support": ["tpu_specs.support_dist=-1"],
+    "bias_corr": ["tpu_specs.bias_correction=true"],
 }
 
 
