@@ -97,6 +97,10 @@ class BAResult(NamedTuple):
     #   -offset every frame, which integrates into drift. The pipeline
     #   EMAs this into the NEXT frame's tracking band target (bias
     #   transfer): mapping defines the offset, tracking consumes it.
+    #   A per-class (ground vs wall) split was A/B'd and measured WORSE
+    #   than the pooled mean on the 500-frame replica (the ground-only
+    #   EMA tracks the post-BA overfit transient at training points, not
+    #   the settled offset the next tracker sees) — keep the pooled mean.
 
 
 def _local_cols(x: jnp.ndarray, axis_name: str | None, c: int) -> jnp.ndarray:
@@ -330,9 +334,9 @@ def _ba_core(
     )
     sdf_pts = field_at(
         st_eval, map_cfg, dec, decoder_meta, xyz, aid, compute_dtype
-    )
+    ).astype(jnp.float32)
     surface_bias = jnp.sum(
-        jnp.where(m, sdf_pts, 0.0).astype(jnp.float32)
+        jnp.where(m, sdf_pts, 0.0)
     ) / jnp.maximum(jnp.sum(m), 1).astype(jnp.float32)
     return BAResult(new_emb, packed, dec, pos, loss, touched_count,
                     surface_bias)

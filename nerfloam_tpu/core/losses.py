@@ -51,9 +51,10 @@ def sdf_losses(
     the GLOBAL loss — per-device grads are then partial sums whose psum is
     exactly the single-device gradient (core/ba.py multi-chip path).
 
-    ``sdf_bias``: scalar band-target offset — the tracker passes the
-    mapped field's measured surface offset (BAResult.surface_bias EMA) so
-    pose optimization targets sdf = bias at measured points instead of 0,
+    ``sdf_bias``: band-target offset, scalar or (R, 1) per-ray — the
+    tracker passes the mapped field's measured surface offset
+    (BAResult.surface_bias EMA, resolved per ray by ground class) so pose
+    optimization targets sdf = bias at measured points instead of 0,
     cancelling the field-fit bias that otherwise integrates into drift.
     Mapping always passes 0 (it DEFINES the offset).
     """

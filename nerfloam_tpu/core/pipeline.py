@@ -205,6 +205,14 @@ class NerfLoamSLAM:
         self.final_iter = bool(mspec.get("final_iter", False))
         self.mesh_res = int(mspec.get("mesh_res", 2))
         self.mesh_freq = int(cfg.debug_args.get("mesh_freq", -1))
+        # periodic random keyframe-window replay independent of meshing.
+        # The reference's mapper replays continuously whenever the tracker
+        # is slower than mapping (mapping.py:100-108); our deterministic
+        # interleave otherwise only replays at mesh intervals / finalize.
+        # Replay re-pins old regions to keyframe-epoch geometry, which
+        # counteracts the per-frame re-training of visible surfaces at the
+        # current (drifting) pose — see docs/PERF.md vertical-sink section.
+        self.replay_freq = int(tpu.get("replay_freq", 0))
         # real periodic checkpointing (the reference read ckpt_freq but never
         # called its checkpoint writer, loggers.py:36-49 / mapping.py:44)
         self.ckpt_freq = int(cfg.debug_args.get("ckpt_freq", -1))
@@ -353,12 +361,13 @@ class NerfLoamSLAM:
         self._mega_cache.clear()  # bp_current is baked into the megastep
         self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
 
-    def _update_sdf_bias(self, surface_bias: float):
+    def _update_sdf_bias(self, surface_bias):
         """EMA the BA step's measured surface offset into the tracking band
         target (bias transfer; BAResult.surface_bias docstring)."""
-        if not self.bias_correction or not np.isfinite(surface_bias):
+        sb = float(surface_bias)
+        if not self.bias_correction or not np.isfinite(sb):
             return
-        self.sdf_bias = 0.8 * self.sdf_bias + 0.2 * surface_bias
+        self.sdf_bias = 0.8 * self.sdf_bias + 0.2 * sb
 
     def check_touched_overflow(self, touched_count: int):
         """Warn + grow when a BA step touched more voxels than touched_cap
@@ -500,8 +509,9 @@ class NerfLoamSLAM:
             st.map_state, self.map_cfg, self.rc_track, tp,
             st.decoder_params, st.decoder_meta,
             jnp.asarray(init6), pts_d, cos_d, val_d, lr, self._next_key(),
-            jnp.asarray(self.sdf_bias if self.bias_correction else 0.0,
-                        jnp.float32),
+            jnp.asarray(
+                self.sdf_bias if self.bias_correction else 0.0, jnp.float32
+            ),
         )
 
     def track_finalize(self, frame: Frame, pose_np: np.ndarray, hits: int):
@@ -667,7 +677,7 @@ class NerfLoamSLAM:
                 self.check_map_overflow(int(got[3]))
                 self.check_active_overflow(int(got[4]))
                 self.check_touched_overflow(int(got[5]))
-                self._update_sdf_bias(float(got[6]))
+                self._update_sdf_bias(got[6])
         else:
             # staged path: GT poses (mapping-only), or tracked frames when
             # BA runs on the dp mesh (the megastep fusion is single-chip)
@@ -719,13 +729,21 @@ class NerfLoamSLAM:
                 self.check_map_overflow(int(got[1]))
                 self.check_active_overflow(int(got[2]))
                 self.check_touched_overflow(int(got[3]))
-                self._update_sdf_bias(float(got[4]))
+                self._update_sdf_bias(got[4])
 
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]
         )
         if gap > self.keyframe_gap:
             self.insert_keyframe(mapper_frame)
+
+        if (self.replay_freq > 0 and len(st.keyframes) > 1
+                and st.frames_processed % self.replay_freq == 0):
+            with self.prof.section("replay"):
+                self._replay(1)
+                # replay recenters to a random keyframe; restore the live
+                # region around the vehicle for the next frame's tracker
+                self._recenter(mapper_frame.pose6[:3])
 
         self._record_trajectory(mapper_frame)
 

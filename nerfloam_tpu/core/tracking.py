@@ -83,9 +83,10 @@ def track_frame_gn(
     learning_rate: jnp.ndarray,  # unused (kept for signature parity)
     key: jax.Array,
     sdf_bias: jnp.ndarray | float = 0.0,  # band target offset — the mapped
-    #   field's measured surface offset (BAResult.surface_bias EMA); pose
-    #   optimization targets sdf = bias at measured points so the field's
-    #   fit bias does not integrate into per-frame drift
+    #   field's measured surface offset (BAResult.surface_bias EMA), as
+    #   (2,) [ground, non-ground] or a scalar; pose optimization targets
+    #   sdf = bias at measured points so the field's fit bias does not
+    #   integrate into per-frame drift
 ) -> TrackResult:
     """Levenberg-Marquardt pose tracking on the truncated-SDF residuals.
 
@@ -113,6 +114,10 @@ def track_frame_gn(
     t_cap = t_cap_for(pts, pcos, tp.truncation, tp.max_depth)
     d_meas = jnp.linalg.norm(pts, axis=-1) * pcos            # (N,)
     depth_ok = (d_meas > 0.0) & (d_meas < tp.max_depth)
+    b2 = jnp.broadcast_to(
+        jnp.asarray(sdf_bias, jnp.float32).reshape(-1)[:2], (2,)
+    )
+    bias_ray = jnp.where(pcos < 0.999, b2[0], b2[1])         # (N,)
 
     wdirs0 = se3.rotate_dirs(init_pose, dirs)
     origin0 = jnp.broadcast_to(se3.pose_translation(init_pose), wdirs0.shape)
@@ -158,7 +163,9 @@ def track_frame_gn(
         tot = jnp.maximum(num_fs + num_sdf, 1).astype(jnp.float32)
         w_fs = tp.fs_weight * (1.0 - num_fs / tot)
         w_sdf = tp.sdf_weight * (1.0 - num_sdf / tot)
-        r = jnp.where(front, sdf - 1.0, (zc + (sdf - sdf_bias) * T) - d)
+        r = jnp.where(
+            front, sdf - 1.0, (zc + (sdf - bias_ray[:, None]) * T) - d
+        )
         w = jnp.where(front, w_fs, w_sdf) * (front | band)
         jscale = jnp.where(front, 1.0, T)
         return xyz, t_pos, r, w, jscale
@@ -260,7 +267,8 @@ def track_frame(
     points_valid: jnp.ndarray,  # (P,) bool
     learning_rate: jnp.ndarray,  # () float32
     key: jax.Array,
-    sdf_bias: jnp.ndarray | float = 0.0,  # see track_frame_gn
+    sdf_bias: jnp.ndarray | float = 0.0,  # see track_frame_gn: (2,)
+    #   [ground, non-ground] or scalar band-target offset
 ) -> TrackResult:
     # tp.num_iterations is static: the first tracked frame uses a tp with 5x
     # iterations (tracking.py:127), costing one extra jit cache entry instead
@@ -268,6 +276,9 @@ def track_frame(
     compute_dtype = jnp.dtype(tp.compute_dtype)
     opt = optax.scale_by_adam()
     opt_state = opt.init(init_pose)
+    b2 = jnp.broadcast_to(
+        jnp.asarray(sdf_bias, jnp.float32).reshape(-1)[:2], (2,)
+    )
 
     if not tp.resample_rays:
         # one ray batch + one occupancy march per tracking step, hoisted out
@@ -321,7 +332,8 @@ def track_frame(
         loss, _ = sdf_losses(
             z_vals, sdf_v, valid_m, out.ray_mask,
             pts, pcos, tp.truncation, tp.max_depth,
-            tp.fs_weight, tp.sdf_weight, sdf_bias=sdf_bias,
+            tp.fs_weight, tp.sdf_weight,
+            sdf_bias=jnp.where(pcos < 0.999, b2[0], b2[1])[:, None],
         )
         return loss, jnp.sum(out.ray_mask)
 

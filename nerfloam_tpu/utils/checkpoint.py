@@ -163,4 +163,5 @@ def load_checkpoint(path: str, slam) -> None:
     if "py_rng" in data:
         inner = tuple(int(x) for x in data["py_rng"])
         slam.pyrng.setstate((manifest.get("py_rng_version", 3), inner, None))
-    slam.sdf_bias = float(manifest.get("sdf_bias", 0.0))
+    sb = np.asarray(manifest.get("sdf_bias", 0.0), np.float64).reshape(-1)
+    slam.sdf_bias = float(sb.mean()) if sb.size else 0.0

@@ -141,6 +141,10 @@ DEFAULTS = {
         #                                  instead of 0 — cancels the
         #                                  field-fit bias that integrates
         #                                  into per-frame drift
+        "replay_freq": 0,                # >0: one random keyframe-window
+        #                                  replay step every N frames
+        #                                  (reference mapper parity; re-pins
+        #                                  old regions against drift)
 
         "const_vel_full": True,          # SE(3) warm start incl. rotation
         #                                  (A/B docs/PERF.md: best raw ATE;
