@@ -18,14 +18,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from nerfloam_tpu.core.pipeline import NerfLoamSLAM
 from nerfloam_tpu.data import get_dataset
-from nerfloam_tpu.utils.config import build_arg_parser, load_config
+from nerfloam_tpu.utils.config import parse_cli
 from nerfloam_tpu.utils.logger import RunLogger
 from nerfloam_tpu.utils.profiler import Profiler
 
 
 def main():
-    args = build_arg_parser().parse_args()
-    cfg = load_config(args.config, args.set)
+    # every YAML key is a CLI flag (--exp_name X, --tracker_specs.num_iterations 10)
+    args, cfg = parse_cli()
     np.random.seed(int(cfg.tpu_specs["seed"]))
 
     dataset = get_dataset(cfg)

@@ -79,6 +79,10 @@ class BAParams(NamedTuple):
     band_samples: int = 0  # extra stratified samples per ray across the
     #   cosine-widened truncation band around the measured depth
     #   (core/render.band_sample_z); 0 = off
+    measure_bias: bool = True  # compute BAResult.surface_bias (a field_at
+    #   eval over the full (W, P) keyframe point set). Wired from
+    #   tpu_specs.bias_correction: configs that never consume the bias
+    #   skip the probe entirely.
 
 
 class BAResult(NamedTuple):
@@ -281,7 +285,15 @@ def _ba_core(
         rvalid = _local_cols(rvalid, axis_name, n_local)
 
         loss, grads = jax.value_and_grad(loss_fn)((emb, dec, pos), ridx, rvalid, k_r)
-        grads = jax.tree.map(allsum, grads)  # dp partial sums -> global grad
+        # Under shard_map(check_vma=False) the psum inside sdf_losses
+        # transposes to a psum, so each device's grad already carries a
+        # factor of dp on its local partial; the explicit allsum then sums
+        # over devices — divide by dp to recover the true global gradient.
+        # (Adam's scale invariance masked the stray factor; the contract
+        # "dp only changes float reduction order" requires the exact grad.)
+        grads = jax.tree.map(allsum, grads)
+        if dp_size > 1:
+            grads = jax.tree.map(lambda g: g / dp_size, grads)
         g_emb, g_dec, g_pos = grads
         if not bp.exact_embedding_grads:
             touched = touched | jnp.any(g_emb != 0.0, axis=-1)
@@ -322,22 +334,26 @@ def _ba_core(
     # surface-bias measurement on the final field (see BAResult.surface_bias):
     # one forward eval over the active frames' measured points — points and
     # field are replicated under shard_map, so compute it on device 0's
-    # slice-identical copy (no psum needed; identical on every device)
-    st_eval = map_state._replace(packed=packed)
-    xyz = jax.vmap(se3.transform_points)(pos, points)          # (W, P, 3)
-    cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
-    aid = vm.lookup_active(st_eval, map_cfg, cells)            # (W, P)
-    depth = jnp.linalg.norm(points, axis=-1)
-    m = (
-        points_valid & frame_active[:, None] & (aid >= 0)
-        & (depth > 0) & (depth < bp.max_depth)
-    )
-    sdf_pts = field_at(
-        st_eval, map_cfg, dec, decoder_meta, xyz, aid, compute_dtype
-    ).astype(jnp.float32)
-    surface_bias = jnp.sum(
-        jnp.where(m, sdf_pts, 0.0)
-    ) / jnp.maximum(jnp.sum(m), 1).astype(jnp.float32)
+    # slice-identical copy (no psum needed; identical on every device).
+    # Static-gated: configs with bias_correction off skip the probe.
+    if bp.measure_bias:
+        st_eval = map_state._replace(packed=packed)
+        xyz = jax.vmap(se3.transform_points)(pos, points)      # (W, P, 3)
+        cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
+        aid = vm.lookup_active(st_eval, map_cfg, cells)        # (W, P)
+        depth = jnp.linalg.norm(points, axis=-1)
+        m = (
+            points_valid & frame_active[:, None] & (aid >= 0)
+            & (depth > 0) & (depth < bp.max_depth)
+        )
+        sdf_pts = field_at(
+            st_eval, map_cfg, dec, decoder_meta, xyz, aid, compute_dtype
+        ).astype(jnp.float32)
+        surface_bias = jnp.sum(
+            jnp.where(m, sdf_pts, 0.0)
+        ) / jnp.maximum(jnp.sum(m), 1).astype(jnp.float32)
+    else:
+        surface_bias = jnp.zeros((), jnp.float32)
     return BAResult(new_emb, packed, dec, pos, loss, touched_count,
                     surface_bias)
 

@@ -63,6 +63,9 @@ class SlamState:
     current_keyframe: Frame | None = None
     frame_poses: list = field(default_factory=list)   # (kf_idx, rel 4x4)
     final_poses: list = field(default_factory=list)   # accumulated 4x4
+    tracking_trajectory: list = field(default_factory=list)  # tracker's own
+    #   per-frame 4x4 poses, before any mapper refinement (the reference's
+    #   share.py:110-121 push_pose / nerfloam.py:60-63 get_raw_trajectory)
     last_frame: Frame | None = None                   # tracker state
     rel_pose: np.ndarray | None = None                # tracker state
     first_frame_id: int = 0
@@ -175,6 +178,8 @@ class NerfLoamSLAM:
             reconcile_mode=str(tpu.get("reconcile_mode", "mean")),
             surface_anchor=int(tpu.get("surface_anchor", 0)),
             band_samples=int(tpu.get("band_samples", 0)),
+            # skip the per-BA-step field probe when nothing consumes it
+            measure_bias=bool(tpu.get("bias_correction", False)),
         )
         self.bp_current = ba_mod.BAParams(
             n_frames=1,
@@ -351,13 +356,11 @@ class NerfLoamSLAM:
         )
         self.map_cfg = self.map_cfg._replace(active_cap=new_acap)
         self.state.map_cfg = self.map_cfg
-        # touched_cap tracks active_cap so reconciliation stays lossless
-        self.bp_current = self.bp_current._replace(
-            touched_cap=min(self.bp_current.touched_cap * 2, new_acap)
-        )
-        self.bp_random = self.bp_random._replace(
-            touched_cap=min(self.bp_random.touched_cap * 2, new_acap)
-        )
+        # touched_cap tracks active_cap so reconciliation stays lossless;
+        # active_cap may grow by more than 2x in one event, so pin to the
+        # new cap (the 0-means-acap lossless default) instead of doubling
+        self.bp_current = self.bp_current._replace(touched_cap=new_acap)
+        self.bp_random = self.bp_random._replace(touched_cap=new_acap)
         self._mega_cache.clear()  # bp_current is baked into the megastep
         self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
 
@@ -407,8 +410,12 @@ class NerfLoamSLAM:
             targets = [tracked_frame]
             bp = self.bp_current
             pad = self.points_pad
-        elif selection_method == "random":
-            targets = self._select_random_window()
+        elif selection_method in ("random", "previous"):
+            targets = (
+                self._select_random_window()
+                if selection_method == "random"
+                else self._select_previous_window()
+            )
             bp = self.bp_random
             pad = self.kf_points_pad
             if not targets:
@@ -463,6 +470,14 @@ class NerfLoamSLAM:
         for i, f in enumerate(targets):
             if pose_free[i]:
                 f.pose6 = new_poses[i]
+
+    def _select_previous_window(self) -> list[Frame]:
+        """The last window_size keyframes (mapping.py:218-219 'previous').
+        Like 'random', this is a keyframe-replay window here: the tracked
+        frame is always optimized by the per-frame 'current' step, so it is
+        not appended to replay windows."""
+        kfs = self.state.keyframes
+        return kfs[-self.window_size:] if kfs else []
 
     def _select_random_window(self) -> list[Frame]:
         kfs = self.state.keyframes
@@ -520,6 +535,7 @@ class NerfLoamSLAM:
         frame.pose6 = np.asarray(pose_np, np.float32)
         if hits > 0:
             frame.hit_ratio = hits / self.tp.n_rays
+        st.tracking_trajectory.append(frame.pose_matrix())
         st.rel_pose = np.linalg.inv(st.last_frame.pose_matrix()) @ frame.pose_matrix()
         frame.rel_pose = st.rel_pose
         st.last_frame = frame
@@ -537,6 +553,7 @@ class NerfLoamSLAM:
         st = self.state
         st.first_frame_id = frame.index
         st.last_frame = frame
+        st.tracking_trajectory.append(frame.pose_matrix())
         # insert before the first refresh so bootstrap BA sees the voxels
         self._recenter(frame.pose6[:3], refresh=False)
         self.create_voxels(frame)
@@ -847,9 +864,19 @@ class NerfLoamSLAM:
         poses = self.get_updated_poses()
         if self.logger is not None:
             self.logger.log_numpy_data(np.asarray(poses), "frame_poses")
+            # the tracker's own per-frame odometry, before mapper refinement
+            # (nerfloam.py:60-63 get_raw_trajectory; useful for
+            # odometry-only evaluation)
+            self.logger.log_numpy_data(
+                np.asarray(self.get_raw_trajectory()), "tracking_trajectory"
+            )
             v, f = self.extract_mesh()
             self.logger.log_mesh(v, f, name="final_mesh.ply")
         return poses
+
+    def get_raw_trajectory(self) -> list:
+        """The tracker's unrefined per-frame poses (share.py push_pose)."""
+        return self.state.tracking_trajectory
 
     def run(self):
         """Full sequence (demo/run.py behavior)."""

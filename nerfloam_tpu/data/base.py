@@ -17,6 +17,7 @@ from nerfloam_tpu.data.ground import segment_ground
 
 class LidarDataset:
     pose_file = "poses.txt"
+    z_min = -np.inf  # vertical outlier cutoff (KITTI: -3 m, kitti.py:44-45)
 
     def __init__(self, data_path: str, use_gt: bool = False,
                  max_depth: float = -1, min_depth: float = -1):
@@ -54,8 +55,19 @@ class LidarDataset:
         return points[mask]
 
     def __getitem__(self, index: int):
-        points = self.read_scan(index)[:, :3].astype(np.float32)
-        points = self.filter_range(points)
+        raw = self.read_scan(index).astype(np.float32)
+        from nerfloam_tpu.native import filter_scan_native
+
+        # single C++ pass over the raw scan (z cutoff + range ball);
+        # numpy fallback when no toolchain is available
+        points = filter_scan_native(
+            raw, self.z_min, self.min_depth, self.max_depth
+        )
+        if points is None:
+            pts = raw[:, :3]
+            if np.isfinite(self.z_min):
+                pts = pts[pts[:, 2] > self.z_min]
+            points = self.filter_range(pts)
         from nerfloam_tpu.native import segment_ground_native
 
         res = segment_ground_native(points)  # C++ path; numpy fallback below

@@ -17,6 +17,7 @@ from nerfloam_tpu.data.base import LidarDataset
 
 class DataLoader(LidarDataset):
     pose_file = "poses_lidar.txt"
+    z_min = -3.0  # kitti.py:44-45 outlier drop, applied by base __getitem__
 
     def __init__(self, data_path, use_gt=False, max_depth=-1, min_depth=-1):
         self.num_bin = len(glob(osp.join(data_path, "velodyne/*.bin")))
@@ -24,8 +25,7 @@ class DataLoader(LidarDataset):
 
     def read_scan(self, index: int) -> np.ndarray:
         path = osp.join(self.data_path, "velodyne/{:06d}.bin".format(index))
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-        return pts[pts[:, 2] > -3.0]
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
     def __len__(self):
         return self.num_bin

@@ -29,15 +29,25 @@ def lzf_decompress(data: bytes, expected_size: int) -> bytes:
         i += 1
         if ctrl < 32:  # literal run
             run = ctrl + 1
+            if i + run > n:
+                raise ValueError("corrupt LZF stream: truncated literal run")
             out[o : o + run] = data[i : i + run]
             i += run
             o += run
         else:  # back reference into the output window
             length = ctrl >> 5
             if length == 7:
+                if i >= n:
+                    raise ValueError(
+                        "corrupt LZF stream: truncated length extension"
+                    )
                 length += data[i]
                 i += 1
             length += 2
+            if i >= n:
+                raise ValueError(
+                    "corrupt LZF stream: truncated back-reference offset"
+                )
             ref = o - (((ctrl & 0x1F) << 8) | data[i]) - 1
             i += 1
             if ref < 0:

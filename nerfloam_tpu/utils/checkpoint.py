@@ -67,6 +67,8 @@ def save_checkpoint(path: str, slam) -> None:
         fp_kf_idx=np.asarray([i for i, _ in st.frame_poses], np.int64),
         fp_rel=np.stack([r for _, r in st.frame_poses])
         if st.frame_poses else np.zeros((0, 4, 4)),
+        tracking_traj=np.asarray(st.tracking_trajectory).reshape(-1, 4, 4)
+        if st.tracking_trajectory else np.zeros((0, 4, 4)),
         last_pose6=st.last_frame.pose6 if st.last_frame else np.zeros(6),
         rel_pose=st.rel_pose if st.rel_pose is not None else np.eye(4),
         # RNG state: resume is bit-reproducible against an uninterrupted run
@@ -145,6 +147,8 @@ def load_checkpoint(path: str, slam) -> None:
     st.frame_poses = list(
         zip(data["fp_kf_idx"].tolist(), list(data["fp_rel"]))
     )
+    if "tracking_traj" in data:
+        st.tracking_trajectory = list(data["tracking_traj"])
     st.first_frame_id = manifest["first_frame_id"]
     st.frames_processed = manifest["frames_processed"]
     if manifest["last_frame_index"] >= 0:

@@ -218,6 +218,78 @@ def _parse_value(s: str):
     return s
 
 
+def _bool_flag(s: str) -> bool:
+    if s.lower() in ("true", "1", "yes"):
+        return True
+    if s.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a bool, got {s!r}")
+
+
+def _flag_items(d: Dict, prefix: str = "") -> Dict[str, Any]:
+    """Flatten a config dict to {'group.key': leaf_value} flag names."""
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flag_items(v, name + "."))
+        else:
+            out[name] = v
+    return out
+
+
+def parse_cli(argv: list[str] | None = None):
+    """Two-phase CLI parse with per-key flag promotion.
+
+    Reference parity (/root/reference/demo/parser.py:9-21): after the config
+    YAML is loaded, every key becomes its own overridable ``--key`` flag.
+    The reference promotes only top-level keys (so in practice just its
+    top-level scalars like --log_dir/--exp_name are usable); here every LEAF
+    key is promoted — top-level scalars keep the reference spelling
+    (``--exp_name``) and nested keys are addressable as ``--group.key``
+    (``--tracker_specs.num_iterations 10``). ``--set group.key=val`` remains
+    as the list-style alternative and is applied last.
+
+    Returns ``(args, cfg)`` with all overrides already folded into ``cfg``.
+    """
+    p = build_arg_parser()
+    known, _ = p.parse_known_args(argv)
+    base = finalize(load_yaml_with_bases(known.config)).as_dict()
+    flags = _flag_items(base)
+    for name, default in flags.items():
+        if default is None:
+            typ = _parse_value
+        elif isinstance(default, bool):  # bool("False") is True — parse it
+            typ = _bool_flag
+        elif isinstance(default, (list, tuple)):
+            typ = yaml.safe_load
+        else:
+            typ = type(default)
+        try:
+            p.add_argument(
+                "--" + name, type=typ, default=argparse.SUPPRESS,
+                required=False, dest=name,
+            )
+        except argparse.ArgumentError:
+            continue  # name collides with a built-in flag (e.g. --resume)
+    args = p.parse_args(argv)
+    provided = {k: v for k, v in vars(args).items() if k in flags}
+    for name, val in provided.items():
+        node = base
+        parts = name.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        node = base
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = _parse_value(val)
+    return args, Config(base)
+
+
 def load_config(path: str, overrides: list[str] | None = None) -> Config:
     cfg = load_yaml_with_bases(path)
     merged = finalize(cfg)

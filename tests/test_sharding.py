@@ -123,6 +123,62 @@ def test_sharded_ba_step_matches_single_chip(superset):
     assert abs(int(out.touched_count) - int(ref.touched_count)) <= 2
 
 
+def test_sharded_grad_scale_matches_single_device():
+    """Direct gradient-scale check of ba.py's dp reduction pattern (ADVICE
+    r2): loss psum'd inside sdf_losses + allsum of grads + divide by dp must
+    equal the single-device gradient EXACTLY in scale. Adam's scale
+    invariance hides a stray dp factor in the end-to-end equivalence test,
+    so this pins the raw gradient."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from nerfloam_tpu.core.losses import sdf_losses
+
+    R, M, dp = 32, 8, 4
+    trunc, max_depth = 0.3, 10.0
+    k = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    gt = jax.random.uniform(k1, (R, 3), minval=1.0, maxval=3.0)
+    d = jnp.linalg.norm(gt, axis=-1, keepdims=True)
+    # spread samples across free space and the truncation band
+    z = jnp.linspace(0.3, 1.1, M)[None, :] * d
+    sdf = 0.1 * jax.random.normal(k2, (R, M))
+    valid = jax.random.uniform(k3, (R, M)) > 0.1
+    raymask = jnp.ones((R,), bool)
+    cos = jnp.ones((R,))
+
+    def ref_loss(s):
+        loss, _ = sdf_losses(z, s, valid, raymask, gt, cos, trunc,
+                             max_depth, 1.0, 100.0)
+        return loss
+
+    g_ref = jax.grad(ref_loss)(sdf)
+
+    n_loc = R // dp
+
+    def sharded_grad(sdf_full):
+        i = jax.lax.axis_index("dp")
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * n_loc, n_loc, 0)
+
+        def local_loss(s_full):
+            loss, _ = sdf_losses(
+                sl(z), sl(s_full), sl(valid), sl(raymask), sl(gt), sl(cos),
+                trunc, max_depth, 1.0, 100.0, axis_name="dp",
+            )
+            return loss
+
+        g = jax.grad(local_loss)(sdf_full)
+        return jax.lax.psum(g, "dp") / dp  # the ba.py pattern
+
+    mesh = Mesh(np.asarray(jax.devices()[:dp]), ("dp",))
+    f = jax.jit(jax.shard_map(
+        sharded_grad, mesh=mesh, in_specs=P(), out_specs=P(),
+        check_vma=False,
+    ))
+    g_sh = f(sdf)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), rtol=1e-5, atol=1e-8
+    )
+
+
 def test_pipeline_dp_runs_and_tracks():
     """Flag-gated multi-chip pipeline (tpu_specs.dp=4): staged tracked path
     with the sharded BA step processes frames and stays on-trajectory."""

@@ -34,6 +34,30 @@ def test_config_cli_overrides():
     assert cfg.tpu_specs["compute_dtype"] == "float32"
 
 
+def test_config_per_key_cli_flags():
+    """Reference-parity flag promotion (demo/parser.py:14-20): every YAML
+    key is its own --key flag; nested leaves as --group.key; --set wins."""
+    from nerfloam_tpu.utils.config import parse_cli
+
+    cfg_path = os.path.join(ROOT, "configs", "kitti", "kitti_00.yaml")
+    args, cfg = parse_cli([
+        cfg_path,
+        "--exp_name", "flagged",                     # top-level scalar
+        "--tracker_specs.num_iterations", "7",       # nested int
+        "--mapper_specs.final_iter", "false",        # nested bool
+        "--tpu_specs.bias_correction", "0",
+        "--set", "mapper_specs.window_size=3",
+    ])
+    assert cfg.exp_name == "flagged"
+    assert cfg.tracker_specs["num_iterations"] == 7
+    assert cfg.mapper_specs["final_iter"] is False
+    assert cfg.tpu_specs["bias_correction"] is False
+    assert cfg.mapper_specs["window_size"] == 3
+    # untouched keys keep their YAML values
+    assert cfg.mapper_specs["voxel_size"] == 0.3
+    assert args.resume is None
+
+
 def test_derived_shapes():
     cfg = load_config(os.path.join(ROOT, "configs", "kitti", "kitti_00.yaml"))
     s = derive_static_shapes(cfg)
