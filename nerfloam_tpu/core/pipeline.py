@@ -48,7 +48,9 @@ from nerfloam_tpu.utils.config import Config, derive_static_shapes
 from nerfloam_tpu.utils.profiler import Profiler
 
 _recenter_refresh_jit = jax.jit(vm.recenter_refresh, static_argnames=("cfg",))
-_insert_frame_jit = jax.jit(vm.insert_frame, static_argnames=("cfg",))
+_insert_frame_jit = jax.jit(
+    vm.insert_frame, static_argnames=("cfg", "cand_cap")
+)
 
 
 @dataclass
@@ -84,6 +86,12 @@ class NerfLoamSLAM:
         tpu = cfg.tpu_specs
         self.points_pad = int(tpu["points_pad"])
         self.kf_points_pad = int(tpu["kf_points_pad"])
+        # static new-voxel candidate budget for insert compaction: keeps the
+        # 8-corner allocation pass at points_pad cost even when support
+        # voxels triple the input (insert_points cand_cap; grows on overflow)
+        self.insert_cand_cap = (
+            int(tpu.get("insert_cand_cap", 0)) or self.points_pad
+        )
         self.compute_dtype = tpu["compute_dtype"]
 
         self.map_cfg = vm.MapConfig(
@@ -314,11 +322,13 @@ class NerfLoamSLAM:
         pts_d, cos_d, val = frame.device_arrays()
         p6 = pose_dev if pose_dev is not None else jnp.asarray(frame.pose6)
         self.state.map_state = _insert_frame_jit(
-            self.state.map_state, self.map_cfg, pts_d, cos_d, val, p6
+            self.state.map_state, self.map_cfg, pts_d, cos_d, val, p6,
+            self.insert_cand_cap,
         )
         self._pending_insert = (pts_d, cos_d, val, p6)
         if check_overflow:
             self.check_map_overflow()
+            self.check_cand_overflow(int(self.state.map_state.num_cand))
 
     def check_map_overflow(self, num_lat: int | None = None):
         """Grow x2 and re-run the last insert while over capacity.
@@ -336,8 +346,32 @@ class NerfLoamSLAM:
             self.state.map_cfg = self.map_cfg
             pts, cos, val, p6 = self._pending_insert
             self.state.map_state = _insert_frame_jit(
-                self.state.map_state, self.map_cfg, pts, cos, val, p6
+                self.state.map_state, self.map_cfg, pts, cos, val, p6,
+                self.insert_cand_cap,
             )
+
+    def check_cand_overflow(self, num_cand: int):
+        """Grow the insert candidate budget and re-run the last insert when
+        compaction dropped candidates (insert_points cand_cap docstring).
+        Insert is idempotent over already-allocated voxels, so the re-run
+        only adds the dropped ones."""
+        if num_cand <= self.insert_cand_cap:
+            return
+        cap = self.insert_cand_cap
+        while num_cand > cap:
+            cap *= 2
+        print(
+            f"[map] insert candidates {num_cand} > cand_cap "
+            f"{self.insert_cand_cap}; growing to {cap} and re-running insert"
+        )
+        self.insert_cand_cap = cap
+        self._mega_cache.clear()  # cand_cap is baked into the megastep
+        pts, cos, val, p6 = self._pending_insert
+        self.state.map_state = _insert_frame_jit(
+            self.state.map_state, self.map_cfg, pts, cos, val, p6,
+            self.insert_cand_cap,
+        )
+        self.check_map_overflow()
 
     def check_active_overflow(self, n_active: int):
         """Grow active_cap when the active surface set outgrew it (the
@@ -588,7 +622,7 @@ class NerfLoamSLAM:
         The inner functions are themselves jitted and inline here; fusing
         them removes ~4 per-frame dispatch round trips over the host link.
         Cached per (map_cfg, TrackParams) — capacity growth rebuilds it."""
-        cache_key = (self.map_cfg, tp)
+        cache_key = (self.map_cfg, tp, self.insert_cand_cap)
         hit = self._mega_cache.get(cache_key)
         if hit is not None:
             return hit
@@ -596,6 +630,7 @@ class NerfLoamSLAM:
             self.bp_current
         dec_meta = self.state.decoder_meta
         track_fn = self._track_fn
+        cand_cap = self.insert_cand_cap
 
         @jax.jit
         def mega(map_state, decoder_params, init6, lr, pts, cos, val_t, val_m,
@@ -612,7 +647,9 @@ class NerfLoamSLAM:
                 update_decoder, ba_lrs, k_ba,
             )
             st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
-            st = vm.insert_frame(st, map_cfg, pts, cos, val_m, ba.poses[0])
+            st = vm.insert_frame(
+                st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap
+            )
             return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
                     ba.touched_count, ba.surface_bias)
 
@@ -684,7 +721,8 @@ class NerfLoamSLAM:
             with self.prof.section("sync"):
                 got = jax.device_get(
                     (tpose, thits, ba_poses, new_state.num_lat,
-                     new_state.n_active, touched_count, surf_bias)
+                     new_state.n_active, touched_count, surf_bias,
+                     new_state.num_cand)
                 )
                 self.track_finalize(frame, got[0], int(got[1]))
                 # mapper copy keeps its isolation; tracked base + BA refine
@@ -695,6 +733,7 @@ class NerfLoamSLAM:
                 self.check_active_overflow(int(got[4]))
                 self.check_touched_overflow(int(got[5]))
                 self._update_sdf_bias(got[6])
+                self.check_cand_overflow(int(got[7]))
         else:
             # staged path: GT poses (mapping-only), or tracked frames when
             # BA runs on the dp mesh (the megastep fusion is single-chip)
@@ -722,13 +761,13 @@ class NerfLoamSLAM:
                 got = jax.device_get(
                     [ba_res.poses, st.map_state.num_lat,
                      st.map_state.n_active, ba_res.touched_count,
-                     ba_res.surface_bias]
+                     ba_res.surface_bias, st.map_state.num_cand]
                     + ([track_res.pose, track_res.hit_count]
                        if track_res is not None else [])
                 )
                 if track_res is not None:
-                    self.track_finalize(frame, got[5], int(got[6]))
-                    mapper_frame.pose6 = np.asarray(got[5], np.float32)
+                    self.track_finalize(frame, got[6], int(got[7]))
+                    mapper_frame.pose6 = np.asarray(got[6], np.float32)
                 else:
                     # maintain tracker motion state on the GT path too so
                     # remove_back direction and a later switch to tracked
@@ -741,12 +780,14 @@ class NerfLoamSLAM:
                     frame.rel_pose = st.rel_pose
                     mapper_frame.rel_pose = st.rel_pose
                     st.last_frame = frame
+                    st.tracking_trajectory.append(frame.pose_matrix())
                 for targets, pose_free in ba_meta:
                     self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
                 self.check_map_overflow(int(got[1]))
                 self.check_active_overflow(int(got[2]))
                 self.check_touched_overflow(int(got[3]))
                 self._update_sdf_bias(got[4])
+                self.check_cand_overflow(int(got[5]))
 
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]

@@ -83,6 +83,9 @@ class MapState(NamedTuple):
     grid_active: jnp.ndarray  # (Dx*Dy*Dz,) int32 cell -> active idx | -1
     packed: jnp.ndarray       # (A, 8*F) corner features packed per voxel
     active_coords: jnp.ndarray  # (A, 3) int32 lattice coords of active voxels
+    num_cand: jnp.ndarray = None  # () int32 — new-voxel candidates seen by
+    #   the LAST insert; > the insert's cand_cap means candidates were
+    #   dropped (host doubles the cap and re-runs, pipeline.check_map_overflow)
 
 
 def acap(cfg: MapConfig) -> int:
@@ -107,6 +110,7 @@ def create(cfg: MapConfig) -> MapState:
         grid_active=jnp.full((Dx * Dy * Dz,), -1, jnp.int32),
         packed=jnp.zeros((A, 8 * cfg.feat_dim), jnp.float32),
         active_coords=jnp.zeros((A, 3), jnp.int32),
+        num_cand=jnp.zeros((), jnp.int32),
     )
 
 
@@ -284,7 +288,8 @@ def pack_embeddings(state: MapState, cfg: MapConfig) -> jnp.ndarray:
 
 
 def insert_points(
-    state: MapState, cfg: MapConfig, points_world: jnp.ndarray, valid: jnp.ndarray
+    state: MapState, cfg: MapConfig, points_world: jnp.ndarray,
+    valid: jnp.ndarray, cand_cap: int = 0,
 ) -> MapState:
     """Allocate voxels (and their corner lattice points) at observed points.
 
@@ -293,6 +298,16 @@ def insert_points(
     absent; an existing FEATURE point directly observed is promoted to
     SURFACE. Points must lie inside the current region (callers recenter
     first); out-of-region points are dropped for this frame.
+
+    ``cand_cap`` (static): when 0 < cand_cap < P, the new-voxel candidate
+    set is compacted to cand_cap rows BEFORE the 8-corner allocation pass,
+    so the expensive part runs on the (small) per-frame novelty set instead
+    of all P input points. This is the single-pass support-voxel insert:
+    with support populations the input is 2-3x points_pad but new voxels per
+    frame stay far below points_pad. ``num_cand`` reports the true candidate
+    count — if it exceeds cand_cap, the over-cap candidates were dropped
+    this call and the host must re-run with a larger cap
+    (pipeline.check_map_overflow).
 
     Overflow safety: if capacity is exhausted, new rows are dropped and
     affected voxels are NOT activated (their corner set would be
@@ -320,16 +335,30 @@ def insert_points(
     lid0 = lookup(state, cfg, vox)
     already_surface = (lid0 >= 0) & state.is_surface[jnp.clip(lid0, 0)]
     cand = first & ~already_surface  # (P,)
+    num_cand = jnp.sum(cand, dtype=jnp.int32)
 
-    # -- allocate missing corner lattice points (same trick on 8P corners) --
+    if cand_cap and cand_cap < P:
+        # compact candidates to the static budget; everything below runs
+        # on Pc rows instead of P
+        Pc = cand_cap
+        crank = jnp.cumsum(cand.astype(jnp.int32)) - 1
+        keep = cand & (crank < Pc)
+        cdest = jnp.where(keep, crank, Pc)
+        vox_c = jnp.zeros((Pc, 3), jnp.int32).at[cdest].set(vox, mode="drop")
+        cand_c = jnp.zeros((Pc,), jnp.bool_).at[cdest].set(keep, mode="drop")
+    else:
+        vox_c, cand_c = vox, cand
+    Pc = vox_c.shape[0]
+
+    # -- allocate missing corner lattice points (same trick on 8Pc corners) --
     offsets = jnp.asarray(CORNER_OFFSETS)  # (8, 3)
-    corners = vox[:, None, :] + offsets[None]  # (P, 8, 3)
-    cflat3 = corners.reshape(-1, 3)            # (8P, 3)
+    corners = vox_c[:, None, :] + offsets[None]  # (Pc, 8, 3)
+    cflat3 = corners.reshape(-1, 3)              # (8Pc, 3)
     c_rel = cflat3 - state.region_min
     c_flatidx, c_inb = _flat_cell(c_rel, cfg.grid_dim)
     c_lid = lookup(state, cfg, cflat3)
-    c_ok = jnp.repeat(cand, 8) & c_inb & (c_lid < 0)
-    cslot = jnp.arange(8 * P, dtype=jnp.int32)
+    c_ok = jnp.repeat(cand_c, 8) & c_inb & (c_lid < 0)
+    cslot = jnp.arange(8 * Pc, dtype=jnp.int32)
     cwinner = jnp.full((total,), -1, jnp.int32).at[
         jnp.where(c_ok, c_flatidx, total)
     ].set(cslot, mode="drop")
@@ -350,14 +379,16 @@ def insert_points(
     state = state._replace(lat_coords=lat_coords, grid=grid, num_lat=num_lat)
 
     # -- activate surface voxels with complete corner sets -----------------
-    c_lid2 = lookup(state, cfg, corners)  # (P, 8) against the updated grid
+    c_lid2 = lookup(state, cfg, corners)  # (Pc, 8) against the updated grid
     complete = jnp.all(c_lid2 >= 0, axis=-1)
     vox_id = c_lid2[:, 0]  # corner 0 == the voxel's own lattice point
-    act = cand & complete
+    act = cand_c & complete
     dest = jnp.where(act, vox_id, C)
     is_surface = state.is_surface.at[dest].set(True, mode="drop")
     corner_idx = state.corner_idx.at[dest].set(c_lid2, mode="drop")
-    return state._replace(is_surface=is_surface, corner_idx=corner_idx)
+    return state._replace(
+        is_surface=is_surface, corner_idx=corner_idx, num_cand=num_cand
+    )
 
 
 def grow(state: MapState, cfg: MapConfig, new_capacity: int) -> tuple[MapState, MapConfig]:
@@ -427,6 +458,7 @@ def insert_frame(
     points_cos: jnp.ndarray,     # (P,) ground-normal cosines (1 = non-ground)
     valid: jnp.ndarray,          # (P,) bool
     pose6: jnp.ndarray,          # (6,)
+    cand_cap: int = 0,           # see insert_points (single-pass support insert)
 ) -> MapState:
     """World-transform + insert fused into one dispatch (create_voxels,
     mapping.py:283-291).
@@ -436,11 +468,13 @@ def insert_frame(
     points (cos < 1 — the segmented ground's normal is ~vertical, and the
     grazing ray direction would barely leave the surface voxel), along the
     ray for everything else (walls/structures). One concatenated
-    insert_points pass handles both populations.
+    insert_points pass handles both populations; ``cand_cap`` keeps the
+    corner-allocation pass at points_pad cost regardless of how many
+    support populations are enabled.
     """
     world = se3.transform_points(pose6, points_sensor)
     if cfg.support_dist <= 0:
-        return insert_points(state, cfg, world, valid)
+        return insert_points(state, cfg, world, valid, cand_cap)
     dirs = points_sensor / (
         jnp.linalg.norm(points_sensor, axis=-1, keepdims=True) + 1e-8
     )
@@ -454,4 +488,5 @@ def insert_frame(
         state, cfg,
         jnp.concatenate(pts, axis=0),
         jnp.concatenate([valid] * len(pts), axis=0),
+        cand_cap,
     )

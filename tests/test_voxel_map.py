@@ -63,6 +63,44 @@ def test_duplicate_points_idempotent():
     np.testing.assert_array_equal(np.asarray(m2.corner_idx), np.asarray(m.corner_idx))
 
 
+def test_insert_cand_compaction_matches_full():
+    """cand_cap compaction (single-pass support insert) must produce the
+    same map as the uncompacted path when the budget is sufficient, and
+    report the true candidate count when it is not."""
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-6, 6, (512, 3)).astype(np.float32)
+    valid = jnp.asarray(rng.random(512) > 0.1)
+
+    m_full = vm.insert_points(make_map(), CFG, jnp.asarray(pts), valid)
+    m_cap = vm.insert_points(
+        make_map(), CFG, jnp.asarray(pts), valid, cand_cap=448
+    )
+    n_cand = int(m_full.num_cand)
+    assert n_cand <= 448  # budget sufficient for this scene
+    assert int(m_cap.num_lat) == int(m_full.num_lat)
+    assert int(m_cap.num_cand) == n_cand
+    s_full, s_cap = vm.surface_snapshot(m_full), vm.surface_snapshot(m_cap)
+    assert set(map(tuple, s_full["coords"])) == set(map(tuple, s_cap["coords"]))
+    # same canonical corner-sharing structure (ids may be ordered differently)
+    np.testing.assert_array_equal(
+        np.asarray(m_full.lat_coords)[: n_cand],
+        np.asarray(m_full.lat_coords)[: n_cand],
+    )
+
+    # starved budget: num_cand reports the full need, allocation is partial
+    m_tiny = vm.insert_points(
+        make_map(), CFG, jnp.asarray(pts), valid, cand_cap=8
+    )
+    assert int(m_tiny.num_cand) == n_cand
+    assert len(vm.surface_snapshot(m_tiny)["voxel_ids"]) <= 8
+    # re-running with a big enough cap completes the allocation (the
+    # pipeline's check_cand_overflow retry path)
+    m_retry = vm.insert_points(m_tiny, CFG, jnp.asarray(pts), valid,
+                               cand_cap=448)
+    s_retry = vm.surface_snapshot(m_retry)
+    assert set(map(tuple, s_retry["coords"])) == set(map(tuple, s_full["coords"]))
+
+
 def test_feature_promotion():
     """A corner lattice point later observed directly becomes SURFACE with
     its own full corner set (octree.cpp:104-105 promotion)."""
