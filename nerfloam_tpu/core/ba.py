@@ -153,6 +153,11 @@ def _ba_core(
     n_local = bp.n_rays // dp_size
     opt = optax.scale_by_adam()
     use_superset = bp.ray_superset > 0 and not bp.exact_embedding_grads
+    # hits sampler (ops/raycast.HitTable): per-step hit table on the
+    # superset rays, per-iteration in-register placement + per-hit packed
+    # gather. The reference-exact fallbacks (ray_superset=0 /
+    # exact_embedding_grads) keep the grid sampler.
+    use_hits = use_superset and rc.sampler == "hits"
 
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -176,15 +181,29 @@ def _ba_core(
         origins0 = jnp.broadcast_to(
             se3.pose_translation(poses)[:, None, :], wdirs0.shape
         )
-        from nerfloam_tpu.ops.raycast import march_occupancy
+        from nerfloam_tpu.ops.raycast import (
+            build_hit_table,
+            march_occupancy,
+            pack_hit_table,
+            unpack_hit_table,
+        )
 
         flatK = lambda x: x.reshape((W * K,) + x.shape[2:])
-        sup_cdf, sup_nocc = march_occupancy(
-            map_state, map_cfg, rc, flatK(origins0), flatK(wdirs0),
-            flatK(sup_tcap),
-        )
-        sup_cdf = sup_cdf.reshape(W, K, -1)
-        sup_nocc = sup_nocc.reshape(W, K)
+        if use_hits:
+            ht_sup = build_hit_table(
+                map_state, map_cfg, rc, flatK(origins0), flatK(wdirs0),
+                flatK(sup_tcap),
+            )
+            # one (7H)-wide f32 row per ray: the per-iteration subset draw
+            # re-slices the table with ONE wide-row gather
+            sup_hits = pack_hit_table(ht_sup).reshape(W, K, 7 * rc.max_hits)
+        else:
+            sup_cdf, sup_nocc = march_occupancy(
+                map_state, map_cfg, rc, flatK(origins0), flatK(wdirs0),
+                flatK(sup_tcap),
+            )
+            sup_cdf = sup_cdf.reshape(W, K, -1)
+            sup_nocc = sup_nocc.reshape(W, K)
 
     def loss_fn(opt_params, ridx, rvalid, k):
         emb_like, dec, pos = opt_params
@@ -195,17 +214,25 @@ def _ba_core(
             st = st._replace(packed=vm.pack_embeddings(st, map_cfg))
         else:
             st = map_state._replace(packed=emb_like)
+        ht_sub = None
         if use_superset:
             # ridx indexes the superset here
             pts = jnp.take_along_axis(sup_pts, ridx[..., None], axis=1)
             pcos = jnp.take_along_axis(sup_cos, ridx, axis=1)
             dirs = jnp.take_along_axis(sup_dirs, ridx[..., None], axis=1)
-            occupancy = (
-                jnp.take_along_axis(sup_cdf, ridx[..., None], axis=1)
-                .reshape((W * n_local, -1)),
-                jnp.take_along_axis(sup_nocc, ridx, axis=1)
-                .reshape((W * n_local,)),
-            )
+            if use_hits:
+                occupancy = None
+                ht_sub = unpack_hit_table(
+                    jnp.take_along_axis(sup_hits, ridx[..., None], axis=1)
+                    .reshape((W * n_local, -1))
+                )
+            else:
+                occupancy = (
+                    jnp.take_along_axis(sup_cdf, ridx[..., None], axis=1)
+                    .reshape((W * n_local, -1)),
+                    jnp.take_along_axis(sup_nocc, ridx, axis=1)
+                    .reshape((W * n_local,)),
+                )
         else:
             pts = jnp.take_along_axis(points, ridx[..., None], axis=1)
             pcos = jnp.take_along_axis(points_cos, ridx, axis=1)
@@ -225,11 +252,20 @@ def _ba_core(
             k, (W * bp.n_rays, Ms), minval=1e-4, maxval=1.0 - 1e-4
         ).reshape(W, bp.n_rays, Ms)
         u_loc = _local_cols(u_full, axis_name, n_local).reshape(W * N, Ms)
-        out = render_rays(
-            st, map_cfg, rc, dec, decoder_meta,
-            flat(origins), flat(wdirs), t_cap, flat(rvalid), k, compute_dtype,
-            occupancy=occupancy, jitter_u=u_loc,
-        )
+        if use_hits:
+            from nerfloam_tpu.core.render import render_rays_hits
+
+            out = render_rays_hits(
+                st, map_cfg, rc, dec, decoder_meta,
+                flat(origins), flat(wdirs), ht_sub, flat(rvalid), k,
+                compute_dtype, jitter_u=u_loc,
+            )
+        else:
+            out = render_rays(
+                st, map_cfg, rc, dec, decoder_meta,
+                flat(origins), flat(wdirs), t_cap, flat(rvalid), k,
+                compute_dtype, occupancy=occupancy, jitter_u=u_loc,
+            )
         z_vals, sdf_v, valid_m = out.z_vals, out.sdf, out.valid_mask
         if bp.surface_anchor or bp.band_samples:
             from nerfloam_tpu.core.render import extra_surface_columns

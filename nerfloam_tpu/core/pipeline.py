@@ -115,6 +115,16 @@ class NerfLoamSLAM:
         # 0.5 also catches voxels crossed obliquely by short path segments —
         # quality/perf A/B in docs/PERF.md)
         coarse = float(tpu.get("coarse_factor", 1.0)) * shapes["voxel_size"]
+        # "hits" = per-step hit table + in-register placement (round-3 hot
+        # path, ~3x fewer random gathers per iteration and reference-exact
+        # per-voxel-path-length sampling); "grid" = round-2 per-sample grid
+        # lookup path (regression fallback)
+        sampler = str(tpu.get("sampler", "grid"))
+        if sampler not in ("grid", "hits"):
+            raise ValueError(
+                f"tpu_specs.sampler must be 'grid' or 'hits', got {sampler!r}"
+            )
+        max_hits = int(tpu.get("max_hits", 20))
         self.rc_track = RaycastConfig(
             step_world=shapes["track_step_world"],
             n_slots=shapes["track_n_slots"],
@@ -122,6 +132,8 @@ class NerfLoamSLAM:
             voxel_size=shapes["voxel_size"],
             max_depth=shapes["max_depth"],
             coarse_step=coarse,
+            sampler=sampler,
+            max_hits=max_hits,
         )
         self.rc_map = RaycastConfig(
             step_world=shapes["map_step_world"],
@@ -130,6 +142,8 @@ class NerfLoamSLAM:
             voxel_size=shapes["voxel_size"],
             max_depth=shapes["max_depth"],
             coarse_step=coarse,
+            sampler=sampler,
+            max_hits=max_hits,
         )
 
         tspec, mspec, crit = cfg.tracker_specs, cfg.mapper_specs, cfg.criteria

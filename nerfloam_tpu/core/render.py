@@ -23,8 +23,10 @@ from nerfloam_tpu.map import voxel_map as vm
 from nerfloam_tpu.models.decoder import decoder_apply
 from nerfloam_tpu.ops.interp import interp_corner_features
 from nerfloam_tpu.ops.raycast import (
+    HitTable,
     RaycastConfig,
     place_samples_cdf,
+    sample_from_hits,
     sample_rays_cdf,
 )
 
@@ -55,15 +57,97 @@ def field_at(
     measured ~26x faster on v5e than 8 scattered F=16 corner-row gathers,
     and the BA scatter-add backward gets the same 128-lane win.
     """
+    # Voxel center from the sample's own cell — NO coords gather: every
+    # caller derives active_id from lookup_active(floor(xyz/vs)), and by
+    # grid_active's construction active_coords[aid] == floor(xyz/vs) for
+    # valid samples (invalid ones are masked downstream). Saves one
+    # (..., 3) random gather per sample on the hot path (~1-2 ms/iter
+    # at the KITTI budget; scripts/profile_render.py).
+    rows = state.packed[jnp.clip(active_id, 0)]          # (..., 8F) one row each
+    return field_from_embs(
+        map_cfg, decoder_params, decoder_meta, xyz, rows, compute_dtype
+    )
+
+
+def field_from_embs(
+    map_cfg: vm.MapConfig,
+    decoder_params,
+    decoder_meta,
+    xyz: jnp.ndarray,     # (..., 3)
+    embs: jnp.ndarray,    # (..., 8F) packed corner rows per sample
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Trilinear interp + decoder on pre-selected packed corner rows; the
+    interp cell is the sample's own cell (see field_at)."""
     F = map_cfg.feat_dim
-    safe = jnp.clip(active_id, 0)
-    rows = state.packed[safe]                            # (..., 8F) one row each
-    embs = rows.reshape(rows.shape[:-1] + (8, F))        # (..., 8, F)
+    embs8 = embs.reshape(embs.shape[:-1] + (8, F))
     center = (
-        state.active_coords[safe].astype(jnp.float32) + 0.5
+        jnp.floor(xyz / map_cfg.voxel_size) + 0.5
     ) * map_cfg.voxel_size
-    feats = interp_corner_features(xyz, center, embs, map_cfg.voxel_size)
+    feats = interp_corner_features(xyz, center, embs8, map_cfg.voxel_size)
     return decoder_apply(decoder_params, decoder_meta, feats, compute_dtype)[..., 0]
+
+
+def hit_rows(state: vm.MapState, ht: HitTable) -> jnp.ndarray:
+    """(R, H, 8F) packed corner rows per HIT — the hits sampler's only
+    per-iteration gather (<= max_hits rows per ray instead of one grid
+    lookup + one packed row per sample)."""
+    return state.packed[jnp.clip(ht.aid, 0)]
+
+
+def select_rows(onehot: jnp.ndarray, rows_h: jnp.ndarray) -> jnp.ndarray:
+    """Distribute per-hit packed rows to samples: (R, M, H) x (R, H, 8F) ->
+    (R, M, 8F) one-hot contraction on the MXU. HIGHEST precision: the
+    default TPU matmul precision would round the f32 embeddings to bf16
+    before the f32 trilinear interp."""
+    return jnp.einsum(
+        "rmh,rhf->rmf", onehot, rows_h, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def render_rays_hits(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    rc: RaycastConfig,
+    decoder_params,
+    decoder_meta,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    ht: HitTable,
+    ray_valid: jnp.ndarray,
+    key: jax.Array,
+    compute_dtype=jnp.float32,
+    jitter_u=None,
+    rows_h: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """render_rays over a prebuilt HitTable (rc.sampler == "hits"): exact
+    per-voxel-path-length inverse-CDF placement + in-register voxel
+    resolution. ``rays_o/rays_d`` may reflect a newer pose than the one the
+    table was built at (tracking moves millimeters within a step — same
+    approximation as the hoisted occupancy march). ``rows_h``: optional
+    pre-gathered hit_rows (callers differentiating w.r.t. a packed-table
+    variable pass the gather done against that variable)."""
+    from nerfloam_tpu.ops.raycast import resolve_cells_in_hits
+
+    z, _, _, pvalid, ray_mask = sample_from_hits(
+        ht, rc.n_samples, key, u=jitter_u
+    )
+    ray_mask = ray_mask & ray_valid
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    # re-resolve every sample's voxel at the CURRENT pose (the table was
+    # built at the step's start pose) — see resolve_cells_in_hits
+    cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
+    onehot, aid, found = resolve_cells_in_hits(ht, cells)
+    valid = pvalid & found & ray_valid[:, None]
+    if rows_h is None:
+        rows_h = hit_rows(state, ht)
+    embs = select_rows(onehot, rows_h)
+    sdf = field_from_embs(
+        map_cfg, decoder_params, decoder_meta, xyz, embs, compute_dtype
+    )
+    sdf = jnp.where(valid, sdf, 1.0)
+    z_out = jnp.where(valid, z, MAX_DEPTH)
+    return RenderOutput(z_out, sdf, ray_mask, valid, xyz)
 
 
 def band_sample_z(

@@ -104,7 +104,12 @@ def track_frame_gn(
     left-perturbation chain d xyz / d(dt, dtheta) = [I, -skew(xyz - t)].
     """
     compute_dtype = jnp.dtype(tp.compute_dtype)
-    from nerfloam_tpu.ops.raycast import march_occupancy, place_samples_cdf
+    from nerfloam_tpu.ops.raycast import (
+        build_hit_table,
+        march_occupancy,
+        place_samples_cdf,
+        sample_from_hits,
+    )
 
     key, k_fixed = jax.random.split(key)
     ridx, rvalid = sample_ray_indices(k_fixed, points_valid, tp.n_rays)
@@ -121,38 +126,50 @@ def track_frame_gn(
 
     wdirs0 = se3.rotate_dirs(init_pose, dirs)
     origin0 = jnp.broadcast_to(se3.pose_translation(init_pose), wdirs0.shape)
-    occupancy = march_occupancy(map_state, map_cfg, rc, origin0, wdirs0, t_cap)
+    use_hits = rc.sampler == "hits"
+    if use_hits:
+        # hit table + per-hit packed rows hoisted out of the loop: every
+        # iteration then places samples and selects corner rows entirely
+        # in registers (ops/raycast.HitTable)
+        ht0 = build_hit_table(map_state, map_cfg, rc, origin0, wdirs0, t_cap)
+        from nerfloam_tpu.core.render import hit_rows, select_rows
+
+        rows_h0 = hit_rows(map_state, ht0)
+        occupancy = None
+    else:
+        occupancy = march_occupancy(
+            map_state, map_cfg, rc, origin0, wdirs0, t_cap
+        )
 
     T = tp.truncation
 
-    from nerfloam_tpu.core.render import field_at
+    from nerfloam_tpu.core.render import field_from_embs
 
-    def field_and_grad(xyz, flid):
-        """SDF value + spatial gradient: one forward + one backward."""
+    def field_and_grad(xyz, embs):
+        """SDF value + spatial gradient: one forward + one backward, on
+        per-sample packed corner rows fixed for this iteration."""
         def f_sum(x):
             return jnp.sum(
-                field_at(
-                    map_state, map_cfg, decoder_params, decoder_meta,
-                    x, flid, compute_dtype,
+                field_from_embs(
+                    map_cfg, decoder_params, decoder_meta, x, embs,
+                    compute_dtype,
                 )
             )
-        sdf_val = field_at(
-            map_state, map_cfg, decoder_params, decoder_meta, xyz, flid,
-            compute_dtype,
+        sdf_val = field_from_embs(
+            map_cfg, decoder_params, decoder_meta, xyz, embs, compute_dtype
         )
         grad_val = jax.grad(f_sum)(xyz)
         return sdf_val, grad_val
 
-    def _residual_parts(pose6, z, flid, vmask):
+    def _residual_parts(pose6, z, embs, vmask):
         """sdf + residuals/weights at a pose, with FIXED sample depths z and
-        voxel ids."""
+        corner rows."""
         wdirs = se3.rotate_dirs(pose6, dirs)
         t_pos = se3.pose_translation(pose6)
         origin = jnp.broadcast_to(t_pos, wdirs.shape)
         xyz = origin[:, None, :] + wdirs[:, None, :] * z[..., None]
-        sdf = field_at(
-            map_state, map_cfg, decoder_params, decoder_meta, xyz, flid,
-            compute_dtype,
+        sdf = field_from_embs(
+            map_cfg, decoder_params, decoder_meta, xyz, embs, compute_dtype
         )
         zc = z * pcos[:, None]
         d = d_meas[:, None]
@@ -175,10 +192,23 @@ def track_frame_gn(
         key, k_place, k_band = jax.random.split(key, 3)
         wdirs = se3.rotate_dirs(pose6, dirs)
         origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
-        z, flid, vmask, ray_mask = place_samples_cdf(
-            map_state, map_cfg, rc, occupancy[0], occupancy[1],
-            origin, wdirs, t_cap, k_place,
-        )
+        if use_hits:
+            from nerfloam_tpu.ops.raycast import resolve_cells_in_hits
+
+            z, _, _, vmask, ray_mask = sample_from_hits(
+                ht0, rc.n_samples, k_place
+            )
+            sxyz = origin[:, None, :] + wdirs[:, None, :] * z[..., None]
+            scell = jnp.floor(sxyz / map_cfg.voxel_size).astype(jnp.int32)
+            onehot, flid, found = resolve_cells_in_hits(ht0, scell)
+            vmask = vmask & found
+            embs = select_rows(onehot, rows_h0)
+        else:
+            z, flid, vmask, ray_mask = place_samples_cdf(
+                map_state, map_cfg, rc, occupancy[0], occupancy[1],
+                origin, wdirs, t_cap, k_place,
+            )
+            embs = map_state.packed[jnp.clip(flid, 0)]
         ray_mask = ray_mask & rvalid
         vmask = vmask & rvalid[:, None]
         if tp.surface_anchor or tp.band_samples:
@@ -203,12 +233,13 @@ def track_frame_gn(
             ecell = jnp.floor(exyz / map_cfg.voxel_size).astype(jnp.int32)
             eaid = _vm.lookup_active(map_state, map_cfg, ecell)
             eval_ = (eaid >= 0) & rvalid[:, None] & (ez > 0)
+            eembs = map_state.packed[jnp.clip(eaid, 0)]
             z = jnp.concatenate([z, ez], axis=1)
-            flid = jnp.concatenate([flid, eaid], axis=1)
             vmask = jnp.concatenate([vmask, eval_], axis=1)
+            embs = jnp.concatenate([embs, eembs], axis=1)
 
-        xyz, t_pos, r, w, jscale = _residual_parts(pose6, z, flid, vmask)
-        _, g = field_and_grad(xyz, flid)
+        xyz, t_pos, r, w, jscale = _residual_parts(pose6, z, embs, vmask)
+        _, g = field_and_grad(xyz, embs)
         loss_cur = jnp.sum(w * r * r)
 
         q = xyz - t_pos                                       # (N, M, 3)
@@ -280,25 +311,41 @@ def track_frame(
         jnp.asarray(sdf_bias, jnp.float32).reshape(-1)[:2], (2,)
     )
 
+    # The Adam tracker ALWAYS uses the grid sampler: its loop explores up
+    # to ~0.5 m within one step, far beyond the hit table's validity (built
+    # at the init pose) — samples leaving the hit set would be invalidated
+    # instead of re-resolved, and the dropped-constraint loss develops
+    # spurious minima (measured: converges ~0.3 m off on a scene the grid
+    # path tracks to 7 cm). The GN tracker (cm-accurate warm start,
+    # track_frame_gn) and BA (sub-mm pose motion) use rc.sampler.
+    use_hits = False
+    occupancy = None
+    ht0 = rows_h0 = None
     if not tp.resample_rays:
-        # one ray batch + one occupancy march per tracking step, hoisted out
-        # of the Adam loop (pose moves millimeters within a step; the fine
-        # lookup inside render re-validates every sample)
+        # one ray batch + one occupancy march (or hit table + per-hit rows,
+        # rc.sampler == "hits") per tracking step, hoisted out of the Adam
+        # loop (pose moves millimeters within a step)
         key, k_fixed = jax.random.split(key)
         ridx0, rvalid0 = sample_ray_indices(k_fixed, points_valid, tp.n_rays)
         pts0 = points[ridx0]
         pcos0 = points_cos[ridx0]
         dirs0 = pts0 / (jnp.linalg.norm(pts0, axis=-1, keepdims=True) + 1e-8)
         t_cap0 = t_cap_for(pts0, pcos0, tp.truncation, tp.max_depth)
-        from nerfloam_tpu.ops.raycast import march_occupancy
+        from nerfloam_tpu.ops.raycast import build_hit_table, march_occupancy
 
         wdirs0 = se3.rotate_dirs(init_pose, dirs0)
         origin0 = jnp.broadcast_to(se3.pose_translation(init_pose), wdirs0.shape)
-        occupancy = march_occupancy(
-            map_state, map_cfg, rc, origin0, wdirs0, t_cap0
-        )
-    else:
-        occupancy = None
+        if use_hits:
+            from nerfloam_tpu.core.render import hit_rows
+
+            ht0 = build_hit_table(
+                map_state, map_cfg, rc, origin0, wdirs0, t_cap0
+            )
+            rows_h0 = hit_rows(map_state, ht0)
+        else:
+            occupancy = march_occupancy(
+                map_state, map_cfg, rc, origin0, wdirs0, t_cap0
+            )
 
     def loss_fn(pose6, ridx, rvalid, k):
         k, k_extra = jax.random.split(k)
@@ -311,11 +358,20 @@ def track_frame(
             pts, pcos, dirs, t_cap = pts0, pcos0, dirs0, t_cap0
         wdirs = se3.rotate_dirs(pose6, dirs)     # (N, 3)
         origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
-        out = render_rays(
-            map_state, map_cfg, rc, decoder_params, decoder_meta,
-            origin, wdirs, t_cap, rvalid, k, compute_dtype,
-            occupancy=occupancy,
-        )
+        if use_hits:
+            from nerfloam_tpu.core.render import render_rays_hits
+
+            out = render_rays_hits(
+                map_state, map_cfg, rc, decoder_params, decoder_meta,
+                origin, wdirs, ht0, rvalid, k, compute_dtype,
+                rows_h=rows_h0,
+            )
+        else:
+            out = render_rays(
+                map_state, map_cfg, rc, decoder_params, decoder_meta,
+                origin, wdirs, t_cap, rvalid, k, compute_dtype,
+                occupancy=occupancy,
+            )
         z_vals, sdf_v, valid_m = out.z_vals, out.sdf, out.valid_mask
         if tp.surface_anchor or tp.band_samples:
             from nerfloam_tpu.core.render import extra_surface_columns

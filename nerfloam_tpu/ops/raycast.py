@@ -47,6 +47,13 @@ class RaycastConfig(NamedTuple):
     #                           voxels crossed obliquely by short path
     #                           segments — A/B'd in docs/PERF.md)
     n_coarse: int = 0         # coarse slots; 0 -> ceil(max_depth/coarse_step)
+    sampler: str = "grid"     # "grid": per-sample fine grid lookup (round-2
+    #   path); "hits": per-step hit table (build_hit_table) + in-register
+    #   placement/selection — ~3x fewer random gathers per optimizer
+    #   iteration, and the sample distribution matches the reference's
+    #   per-voxel-path-length inverse CDF exactly (sample_gpu.cu:133-239)
+    max_hits: int = 20        # "hits" sampler: hit-list cap per ray, nearest
+    #   first (the reference's hard-coded n_max=20, voxel_helpers.py:533)
 
 
 def _coarse_shape(rc: RaycastConfig) -> tuple[float, int]:
@@ -123,6 +130,219 @@ def place_samples_cdf(
     )
 
 
+class HitTable(NamedTuple):
+    """Per-ray voxel hit list with exact AABB segment bounds — the working
+    set of the "hits" sampler. Built ONCE per optimizer step (tracking) or
+    per BA step (superset rays); every optimizer iteration then places
+    samples and resolves their voxels entirely in registers, with the only
+    remaining gather being one packed row per HIT (<= max_hits per ray)
+    instead of one grid lookup + one packed row per SAMPLE.
+
+    Semantic contract = the reference's ray_intersect output
+    (voxel_helpers.py:531-567): up to H hits per ray, sorted by entry
+    depth, exact slab-test [t_near, t_far], segments clipped to the ray's
+    useful range t_cap."""
+
+    aid: jnp.ndarray      # (R, H) int32 active ids, -1 pad
+    t_near: jnp.ndarray   # (R, H) f32 entry depth (>= 0)
+    seg: jnp.ndarray      # (R, H) f32 in-voxel path length (clipped, >= 0)
+    cdf: jnp.ndarray      # (R, H) f32 cumsum(seg)
+    cell: jnp.ndarray     # (R, H, 3) int32 hit voxel lattice cells — used to
+    #   RE-RESOLVE samples against the table as the pose moves during the
+    #   optimizer loop (resolve_cells_in_hits): the grid sampler re-looks up
+    #   every sample's voxel each iteration, and a tracker stepping
+    #   centimeters per iteration needs that revalidation or the field
+    #   evaluation silently mixes one voxel's corners with another's cell
+    ray_mask: jnp.ndarray  # (R,) bool — any hit with positive segment
+
+
+def build_hit_table(
+    state: vm.MapState,
+    map_cfg: vm.MapConfig,
+    rc: RaycastConfig,
+    rays_o: jnp.ndarray,   # (R, 3)
+    rays_d: jnp.ndarray,   # (R, 3)
+    t_cap: jnp.ndarray,    # (R,)
+) -> HitTable:
+    """March the coarse probes once and compact first-touch voxels into a
+    static (R, max_hits) hit list with exact slab bounds.
+
+    The probed cell IS the hit voxel's lattice cell (grid_active maps a
+    cell to the voxel at that cell), so the slab test needs no coordinate
+    gather — the march's (R, S) grid lookup is the only gather here.
+    """
+    R = rays_o.shape[0]
+    H = rc.max_hits
+    cstep, S = _coarse_shape(rc)
+
+    t_c = (jnp.arange(S, dtype=jnp.float32) + 0.5) * cstep
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_c[None, :, None]
+    cells = jnp.floor(pts / rc.voxel_size).astype(jnp.int32)
+    lid = vm.lookup_active(state, map_cfg, cells)                 # (R, S)
+    occ_lid = jnp.where(t_c[None, :] <= t_cap[:, None] + cstep, lid, -1)
+
+    # first probe of each contiguous same-voxel run = one hit (re-entry
+    # after a gap counts again, like the DFS emitting the voxel when the
+    # ray grazes back in — duplicate slabs are identical and rare)
+    prev = jnp.concatenate(
+        [jnp.full((R, 1), -2, jnp.int32), occ_lid[:, :-1]], axis=1
+    )
+    new_hit = (occ_lid >= 0) & (occ_lid != prev)
+
+    pos = jnp.cumsum(new_hit.astype(jnp.int32), axis=-1) - 1
+    keep = new_hit & (pos < H)
+    dest = jnp.where(keep, pos, H)
+    rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, S))
+    slot = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (R, S))
+    aid = jnp.full((R, H + 1), -1, jnp.int32).at[rows, dest].set(
+        occ_lid
+    )[:, :H]
+    hslot = jnp.zeros((R, H + 1), jnp.int32).at[rows, dest].set(slot)[:, :H]
+
+    # exact slab test at (R, H): hit cell re-derived from the probe point
+    # (pure math), AABB = [cell, cell+1] * voxel_size
+    ht = (hslot.astype(jnp.float32) + 0.5) * cstep                 # (R, H)
+    hpts = rays_o[:, None, :] + rays_d[:, None, :] * ht[..., None]
+    hcell = jnp.floor(hpts / rc.voxel_size)                        # (R, H, 3)
+    vmin = hcell * rc.voxel_size
+    vmax = vmin + rc.voxel_size
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    t0 = (vmin - rays_o[:, None, :]) * inv_d[:, None, :]
+    t1 = (vmax - rays_o[:, None, :]) * inv_d[:, None, :]
+    t_near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+    t_far = jnp.minimum(
+        jnp.min(jnp.maximum(t0, t1), axis=-1), t_cap[:, None]
+    )
+    seg = jnp.where(aid >= 0, jnp.maximum(t_far - t_near, 0.0), 0.0)
+    cdf = jnp.cumsum(seg, axis=-1)
+    return HitTable(
+        aid, t_near, seg, cdf, hcell.astype(jnp.int32), cdf[:, -1] > 0.0
+    )
+
+
+def pack_hit_table(ht: HitTable) -> jnp.ndarray:
+    """(R, 7H) f32 row per ray [aid, t_near, seg, cdf, cell xyz] — ONE
+    wide-row gather re-slices a ray subset (BA draws n_rays from the marched
+    superset). aid/cells are exact in f32 below 2^24."""
+    return jnp.concatenate(
+        [
+            ht.aid.astype(jnp.float32), ht.t_near, ht.seg, ht.cdf,
+            ht.cell.astype(jnp.float32).reshape(ht.cell.shape[:-2] + (-1,)),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_hit_table(packed: jnp.ndarray) -> HitTable:
+    H = packed.shape[-1] // 7
+    aid = packed[..., :H].astype(jnp.int32)
+    t_near = packed[..., H: 2 * H]
+    seg = packed[..., 2 * H: 3 * H]
+    cdf = packed[..., 3 * H: 4 * H]
+    cell = packed[..., 4 * H:].reshape(packed.shape[:-1] + (H, 3)).astype(
+        jnp.int32
+    )
+    return HitTable(aid, t_near, seg, cdf, cell, cdf[..., -1] > 0.0)
+
+
+def sample_from_hits(
+    ht: HitTable,
+    n_samples: int,
+    key: jax.Array,
+    jitter: bool = True,
+    u: jnp.ndarray | None = None,
+):
+    """Stratified inverse-CDF placement over the hit segments — the exact
+    distribution of the reference's inverse_cdf_sampling (samples
+    proportional to in-voxel path length, sample_gpu.cu:133-239), computed
+    entirely in registers: the hit index per sample comes from a
+    compare-count against the (R, H) cdf and every per-sample attribute is
+    a one-hot contraction over H. NO gathers.
+
+    Returns (z (R, M), onehot (R, M, H) f32, aid (R, M), valid (R, M),
+    ray_mask (R,)).
+    """
+    R, H = ht.aid.shape
+    M = n_samples
+    total = ht.cdf[:, -1]
+    if u is None:
+        if jitter:
+            u = jax.random.uniform(key, (R, M), minval=1e-4, maxval=1.0 - 1e-4)
+        else:
+            u = jnp.full((R, M), 0.5)
+    q = (jnp.arange(M, dtype=jnp.float32)[None, :] + u) / M * total[:, None]
+    j = jnp.sum((ht.cdf[:, None, :] < q[:, :, None]).astype(jnp.int32), axis=-1)
+    j = jnp.clip(j, 0, H - 1)
+    onehot_b = (
+        jnp.arange(H, dtype=jnp.int32)[None, None, :] == j[..., None]
+    )                                                              # (R, M, H)
+    onehot = onehot_b.astype(jnp.float32)
+    # one stacked contraction for the per-sample segment attributes;
+    # HIGHEST precision — default TPU matmul precision rounds the f32
+    # operands to bf16, which would corrupt depths
+    vals = jnp.stack([ht.cdf, ht.seg, ht.t_near], axis=-1)         # (R, H, 3)
+    picked = jnp.einsum(
+        "rmh,rhk->rmk", onehot, vals, precision=jax.lax.Precision.HIGHEST
+    )
+    cdf_j, seg_j, tn_j = picked[..., 0], picked[..., 1], picked[..., 2]
+    aid = jnp.max(jnp.where(onehot_b, ht.aid[:, None, :], -1), axis=-1)
+    frac = jnp.clip(
+        (q - (cdf_j - seg_j)) / jnp.where(seg_j > 0, seg_j, 1.0), 0.0, 1.0
+    )
+    # shrink away from the exit face so floor(xyz/voxel) stays in the hit
+    # voxel (field_at derives the interp cell from the sample position)
+    z = tn_j + jnp.clip(frac, 1e-4, 1.0 - 1e-4) * seg_j
+    valid = (total > 0)[:, None] & (aid >= 0) & (seg_j > 0)
+    return (
+        jnp.where(valid, z, 0.0),
+        onehot,
+        jnp.where(valid, aid, -1),
+        valid,
+        ht.ray_mask,
+    )
+
+
+def resolve_cells_in_hits(ht: HitTable, cells: jnp.ndarray):
+    """Re-resolve sample cells (R, K, 3) against the ray's hit list by CELL
+    EQUALITY: onehot (R, K, H) of the hit whose voxel contains the sample's
+    current position, its aid, and a found mask.
+
+    This is the in-register equivalent of the grid sampler's per-iteration
+    fine lookup: as the pose moves within an optimizer step, a sample that
+    drifts into another hit voxel of the same ray re-resolves to it, and one
+    that leaves the hit set is invalidated — without this, the field
+    evaluation mixes the stale voxel's corners with the new position's cell
+    and the tracker's gradient points nowhere (measured: the Adam tracker
+    diverges monotonically)."""
+    eq = jnp.all(
+        cells[:, :, None, :] == ht.cell[:, None, :, :], axis=-1
+    ) & (ht.aid[:, None, :] >= 0)                                  # (R, K, H)
+    count = jnp.sum(eq.astype(jnp.float32), axis=-1, keepdims=True)
+    onehot = eq.astype(jnp.float32) / jnp.maximum(count, 1.0)
+    aid = jnp.max(jnp.where(eq, ht.aid[:, None, :], -1), axis=-1)
+    found = jnp.any(eq, axis=-1)
+    return onehot, jnp.where(found, aid, -1), found
+
+
+def match_z_in_hits(ht: HitTable, z: jnp.ndarray):
+    """Resolve explicit depths (R, K) against the hit list: onehot (R, K, H)
+    of the containing segment and its aid; aid = -1 where no segment
+    contains z. In-register replacement for a fine grid lookup at depths
+    known to lie inside hit voxels."""
+    inside = (
+        (z[..., None] >= ht.t_near[:, None, :])
+        & (z[..., None] < ht.t_near[:, None, :] + ht.seg[:, None, :])
+        & (ht.aid[:, None, :] >= 0)
+    )                                                              # (R, K, H)
+    # a re-entry artifact can list the same voxel twice with identical
+    # bounds — normalize so the contraction still selects ONE row's worth
+    count = jnp.sum(inside.astype(jnp.float32), axis=-1, keepdims=True)
+    onehot = inside.astype(jnp.float32) / jnp.maximum(count, 1.0)
+    aid = jnp.max(jnp.where(inside, ht.aid[:, None, :], -1), axis=-1)
+    found = jnp.any(inside, axis=-1)
+    return onehot, jnp.where(found, aid, -1), found
+
+
 def sample_rays_cdf(
     state: vm.MapState,
     map_cfg: vm.MapConfig,
@@ -193,9 +413,10 @@ def ray_intersect(
     new_hit = (lid >= 0) & (lid != prev)
 
     # exact slab test against the hit voxel's AABB (RayAABBIntersection
-    # semantics, intersect_gpu.cu:77-142)
-    safe = jnp.clip(lid, 0)
-    vmin = state.active_coords[safe].astype(jnp.float32) * rc.voxel_size
+    # semantics, intersect_gpu.cu:77-142). The hit voxel's min corner IS
+    # the probed cell (grid_active maps a cell to the voxel at that cell),
+    # so no coords gather is needed.
+    vmin = cells.astype(jnp.float32) * rc.voxel_size
     vmax = vmin + rc.voxel_size
     inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
     t0 = (vmin - rays_o[:, None, :]) * inv_d[:, None, :]
