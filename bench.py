@@ -70,6 +70,9 @@ BENCH_OVERRIDES = [
     "tpu_specs.emb_dtype=bfloat16",
     "tpu_specs.active_cap=131072",
     "tpu_specs.touched_cap=65536",
+    # the shipped KITTI-class sampler (configs/kitti/kitti.yaml): per-step
+    # hit tables; measured 2.06 -> 3.21 scans/s at this budget (r3)
+    "tpu_specs.sampler=hits",
 ]
 
 WARMUP_FRAMES = 6  # compile + first-frame special cases excluded from timing
@@ -92,10 +95,12 @@ def main():
     from nerfloam_tpu.utils.config import load_config
 
     quality = "--quality" in sys.argv
+    # ad-hoc A/B knobs: NERFLOAM_BENCH_SET="group.key=val,group.key=val"
+    extra = [s for s in os.environ.get("NERFLOAM_BENCH_SET", "").split(",") if s]
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "configs", "synthetic",
                      "synthetic_small.yaml"),
-        BENCH_OVERRIDES + (QUALITY_OVERRIDES if quality else []),
+        BENCH_OVERRIDES + (QUALITY_OVERRIDES if quality else []) + extra,
     )
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)

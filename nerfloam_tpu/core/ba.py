@@ -394,6 +394,40 @@ def _ba_core(
                     surface_bias)
 
 
+def surface_bias_at(
+    map_state: MapState,
+    map_cfg: MapConfig,
+    decoder_params,
+    decoder_meta,
+    pose6: jnp.ndarray,        # (6,)
+    points: jnp.ndarray,       # (P, 3) sensor-frame
+    points_valid: jnp.ndarray,  # (P,)
+    max_depth: float,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Mean field value at one frame's measured surface points under its
+    pose — the SETTLED-bias probe (tpu_specs.bias_source='keyframe').
+
+    The per-BA-step window probe (BAParams.measure_bias) reads the field
+    right after optimizing on those very points, i.e. the post-BA overfit
+    transient; the tracker meanwhile sees surfaces trained FRAMES ago. This
+    probe evaluates the current keyframe's cloud instead — geometry whose
+    training has settled — which is the offset the next tracked frame
+    actually encounters (docs/PERF.md round-3 drift section)."""
+    xyz = se3.transform_points(pose6, points)
+    cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
+    aid = vm.lookup_active(map_state, map_cfg, cells)
+    depth = jnp.linalg.norm(points, axis=-1)
+    m = points_valid & (aid >= 0) & (depth > 0) & (depth < max_depth)
+    sdf_pts = field_at(
+        map_state, map_cfg, decoder_params, decoder_meta, xyz, aid,
+        compute_dtype,
+    ).astype(jnp.float32)
+    return jnp.sum(jnp.where(m, sdf_pts, 0.0)) / jnp.maximum(
+        jnp.sum(m), 1
+    ).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))
 def ba_step(
     map_state: MapState,

@@ -51,6 +51,9 @@ _recenter_refresh_jit = jax.jit(vm.recenter_refresh, static_argnames=("cfg",))
 _insert_frame_jit = jax.jit(
     vm.insert_frame, static_argnames=("cfg", "cand_cap")
 )
+_surface_bias_jit = jax.jit(
+    ba_mod.surface_bias_at, static_argnames=("map_cfg", "decoder_meta")
+)
 
 
 @dataclass
@@ -179,6 +182,16 @@ class NerfLoamSLAM:
         # bias transfer (BAResult.surface_bias -> tracking band target):
         # EMA of the mapped field's measured surface offset; 0 disables
         self.bias_correction = bool(tpu.get("bias_correction", False))
+        # where the offset is measured: "window" = the BA window's points on
+        # the post-BA field (round-2 behavior; reads the overfit transient),
+        # "keyframe" = the current keyframe's cloud (settled geometry — what
+        # the next tracked frame actually sees; ba.surface_bias_at)
+        self.bias_source = str(tpu.get("bias_source", "window"))
+        if self.bias_source not in ("window", "keyframe"):
+            raise ValueError(
+                f"tpu_specs.bias_source must be 'window' or 'keyframe', "
+                f"got {self.bias_source!r}"
+            )
         self.sdf_bias = 0.0
         # device-resident constants (uploading a scalar per frame costs a
         # host round trip on remote-device links)
@@ -201,7 +214,11 @@ class NerfLoamSLAM:
             surface_anchor=int(tpu.get("surface_anchor", 0)),
             band_samples=int(tpu.get("band_samples", 0)),
             # skip the per-BA-step field probe when nothing consumes it
-            measure_bias=bool(tpu.get("bias_correction", False)),
+            # (also when the settled keyframe probe replaces it)
+            measure_bias=(
+                bool(tpu.get("bias_correction", False))
+                and self.bias_source == "window"
+            ),
         )
         self.bp_current = ba_mod.BAParams(
             n_frames=1,
@@ -230,6 +247,15 @@ class NerfLoamSLAM:
         self.key_distance = float(mspec["key_distance"])
         self.remove_back = bool(mspec.get("remove_back", False))
         self.final_iter = bool(mspec.get("final_iter", False))
+        # finalize-time drift spreading (no loop closure needed): re-register
+        # every keyframe against the FINAL field before the final replay and
+        # mesh. Keyframes drift relative to each other during the run;
+        # re-tracking each one against the shared map pulls them into mutual
+        # consistency, and because per-frame trajectory entries are stored
+        # keyframe-relative (frame_poses), the correction spreads to the
+        # whole trajectory. The reference's continuous replay accomplishes a
+        # weaker form of this incidentally (mapping.py:127-147).
+        self.finalize_realign = bool(tpu.get("finalize_realign", False))
         self.mesh_res = int(mspec.get("mesh_res", 2))
         self.mesh_freq = int(cfg.debug_args.get("mesh_freq", -1))
         # periodic random keyframe-window replay independent of meshing.
@@ -645,10 +671,13 @@ class NerfLoamSLAM:
         dec_meta = self.state.decoder_meta
         track_fn = self._track_fn
         cand_cap = self.insert_cand_cap
+        kf_bias = self.bias_correction and self.bias_source == "keyframe"
+        max_depth = self.rc_map.max_depth
 
         @jax.jit
         def mega(map_state, decoder_params, init6, lr, pts, cos, val_t, val_m,
-                 pose_free, update_decoder, ba_lrs, k_track, k_ba, sdf_bias):
+                 pose_free, update_decoder, ba_lrs, k_track, k_ba, sdf_bias,
+                 kf_pts, kf_val, kf_pose6):
             tr = track_fn(
                 map_state, map_cfg, rc_t, tp, decoder_params, dec_meta,
                 init6, pts, cos, val_t, lr, k_track, sdf_bias,
@@ -661,11 +690,20 @@ class NerfLoamSLAM:
                 update_decoder, ba_lrs, k_ba,
             )
             st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
+            if kf_bias:
+                # settled-bias probe on the current keyframe's cloud (see
+                # ba.surface_bias_at) — replaces the window transient probe
+                surf_bias = ba_mod.surface_bias_at(
+                    st, map_cfg, ba.decoder_params, dec_meta, kf_pose6,
+                    kf_pts, kf_val, max_depth,
+                )
+            else:
+                surf_bias = ba.surface_bias
             st = vm.insert_frame(
                 st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap
             )
             return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
-                    ba.touched_count, ba.surface_bias)
+                    ba.touched_count, surf_bias)
 
         self._mega_cache[cache_key] = mega
         return mega
@@ -718,6 +756,8 @@ class NerfLoamSLAM:
                 )
                 pose_free = np.array([frame.index != st.first_frame_id])
                 mega = self._megastep_for(tp)
+                kf = st.current_keyframe
+                kf_pts, _, kf_val = kf.device_arrays()
                 (new_state, tpose, thits, ba_poses, dec_params,
                  touched_count, surf_bias) = mega(
                     st.map_state, st.decoder_params, jnp.asarray(init6), lr,
@@ -728,6 +768,7 @@ class NerfLoamSLAM:
                         self.sdf_bias if self.bias_correction else 0.0,
                         jnp.float32,
                     ),
+                    kf_pts, kf_val, jnp.asarray(kf.pose6),
                 )
                 st.map_state = new_state
                 st.decoder_params = dec_params
@@ -766,6 +807,16 @@ class NerfLoamSLAM:
                     update_decoder=update_decoder,
                     poses_dev=pose_dev[None], defer_pose_fetch=True,
                 )
+            if self.bias_correction and self.bias_source == "keyframe":
+                kf = st.current_keyframe
+                kf_pts, _, kf_val = kf.device_arrays()
+                bias_dev = _surface_bias_jit(
+                    st.map_state, self.map_cfg, st.decoder_params,
+                    st.decoder_meta, jnp.asarray(kf.pose6), kf_pts, kf_val,
+                    self.rc_map.max_depth,
+                )
+            else:
+                bias_dev = ba_res.surface_bias
             with self.prof.section("create_voxels"):
                 self.create_voxels(
                     mapper_frame, pose_dev=ba_res.poses[0],
@@ -775,7 +826,7 @@ class NerfLoamSLAM:
                 got = jax.device_get(
                     [ba_res.poses, st.map_state.num_lat,
                      st.map_state.n_active, ba_res.touched_count,
-                     ba_res.surface_bias, st.map_state.num_cand]
+                     bias_dev, st.map_state.num_cand]
                     + ([track_res.pose, track_res.hit_count]
                        if track_res is not None else [])
                 )
@@ -907,13 +958,40 @@ class NerfLoamSLAM:
             )
         return v, f
 
+    def _realign_keyframes(self):
+        """Re-register every non-anchor keyframe against the final field
+        (tpu_specs.finalize_realign; see __init__ comment). The first
+        keyframe stays fixed — it is the gauge anchor."""
+        st = self.state
+        for kf in st.keyframes:
+            if kf.index == st.first_frame_id:
+                continue
+            self._recenter(kf.pose6[:3])
+            pts_d, cos_d, val_d = kf.device_arrays()
+            res = self._track_fn(
+                st.map_state, self.map_cfg, self.rc_track, self.tp,
+                st.decoder_params, st.decoder_meta, jnp.asarray(kf.pose6),
+                pts_d, cos_d, val_d, self._lr_track_lo, self._next_key(),
+                jnp.asarray(
+                    self.sdf_bias if self.bias_correction else 0.0,
+                    jnp.float32,
+                ),
+            )
+            pose_np, hits = jax.device_get((res.pose, res.hit_count))
+            if int(hits) > 0:
+                kf.pose6 = np.asarray(pose_np, np.float32)
+        if st.keyframes:
+            self._recenter(st.keyframes[-1].pose6[:3])
+
     def finalize(self):
-        """End-of-sequence: optional no-replay mesh, final_iter replay,
-        final poses + mesh (mapping.py:150-169)."""
+        """End-of-sequence: optional no-replay mesh, keyframe realignment,
+        final_iter replay, final poses + mesh (mapping.py:150-169)."""
         st = self.state
         if self.logger is not None:
             v, f = self.extract_mesh()
             self.logger.log_mesh(v, f, name="final_mesh_noreplay.ply")
+        if self.finalize_realign:
+            self._realign_keyframes()
         if self.final_iter:
             self._replay(len(st.keyframes) + 1)
         poses = self.get_updated_poses()

@@ -116,6 +116,20 @@ DEFAULTS = {
         #                                  device mesh (1 = single chip,
         #                                  fused megastep)
         "coarse_factor": 1.0,            # occupancy-march step / voxel_size
+        "sampler": "grid",               # render sampler: "hits" (per-step
+        #                                  hit table + in-register placement,
+        #                                  ~1.6x frame throughput) | "grid"
+        #                                  (per-sample grid lookups)
+        "max_hits": 20,                  # "hits": hit-list cap per ray
+        #                                  (reference n_max=20,
+        #                                  voxel_helpers.py:533)
+        "bias_source": "window",         # bias_correction probe: "window"
+        #                                  (post-BA transient, round-2) |
+        #                                  "keyframe" (settled keyframe
+        #                                  cloud, ba.surface_bias_at)
+        "finalize_realign": False,       # re-register keyframes against the
+        #                                  final field before the final
+        #                                  replay/mesh (drift spreading)
         "track_method": "gn",            # "gn" (LM solver, default: ~10x lower
         #                                  curved-trajectory ATE at equal cost,
         #                                  docs/PERF.md A/B) | "adam" (reference

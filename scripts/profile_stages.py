@@ -49,7 +49,10 @@ def timeit(name, fn, *args, n=4, sync=None, **kw):
 
 
 def main():
-    cfg = load_config("configs/synthetic/synthetic_small.yaml", BENCH_OVERRIDES)
+    extra = [s for s in os.environ.get("NERFLOAM_BENCH_SET", "").split(",") if s]
+    cfg = load_config(
+        "configs/synthetic/synthetic_small.yaml", BENCH_OVERRIDES + extra
+    )
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)
     print("grid_dim:", slam.map_cfg.grid_dim, "capacity:", slam.map_cfg.capacity,
