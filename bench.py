@@ -73,6 +73,9 @@ BENCH_OVERRIDES = [
     # the shipped KITTI-class sampler (configs/kitti/kitti.yaml): per-step
     # hit tables; measured 2.06 -> 3.21 scans/s at this budget (r3)
     "tpu_specs.sampler=hits",
+    # shipped KITTI lazy-recenter margin: grid rebuild + repack every ~8
+    # frames instead of every frame (configs/kitti/kitti.yaml)
+    "tpu_specs.recenter_margin=8.0",
 ]
 
 WARMUP_FRAMES = 6  # compile + first-frame special cases excluded from timing

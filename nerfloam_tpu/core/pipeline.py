@@ -49,7 +49,7 @@ from nerfloam_tpu.utils.profiler import Profiler
 
 _recenter_refresh_jit = jax.jit(vm.recenter_refresh, static_argnames=("cfg",))
 _insert_frame_jit = jax.jit(
-    vm.insert_frame, static_argnames=("cfg", "cand_cap")
+    vm.insert_frame, static_argnames=("cfg", "cand_cap", "append_active")
 )
 _surface_bias_jit = jax.jit(
     ba_mod.surface_bias_at, static_argnames=("map_cfg", "decoder_meta")
@@ -266,6 +266,24 @@ class NerfLoamSLAM:
         # counteracts the per-frame re-training of visible surfaces at the
         # current (drifting) pose — see docs/PERF.md vertical-sink section.
         self.replay_freq = int(tpu.get("replay_freq", 0))
+        # lazy recentering (vm.maybe_recenter_refresh): >0 skips the
+        # per-frame grid rebuild + full repack while the sensor stays within
+        # this many meters of the region center; inserts then maintain the
+        # active set incrementally (insert append_active). 0 = rebuild every
+        # frame (round-2 behavior). Must satisfy
+        # region half-extent >= max_depth + margin (validated below).
+        self.recenter_margin = float(tpu.get("recenter_margin", 0.0))
+        if self.recenter_margin > 0:
+            half_xy = min(shapes["grid_dim"][0], shapes["grid_dim"][1]) \
+                * shapes["voxel_size"] / 2
+            slack = half_xy - shapes["max_depth"]
+            if self.recenter_margin > slack:
+                raise ValueError(
+                    f"tpu_specs.recenter_margin={self.recenter_margin} "
+                    f"exceeds region slack {slack:.1f} m "
+                    f"(half-extent {half_xy:.1f} - max_depth "
+                    f"{shapes['max_depth']:.1f}); rays would leave the grid"
+                )
         # real periodic checkpointing (the reference read ckpt_freq but never
         # called its checkpoint writer, loggers.py:36-49 / mapping.py:44)
         self.ckpt_freq = int(cfg.debug_args.get("ckpt_freq", -1))
@@ -363,7 +381,7 @@ class NerfLoamSLAM:
         p6 = pose_dev if pose_dev is not None else jnp.asarray(frame.pose6)
         self.state.map_state = _insert_frame_jit(
             self.state.map_state, self.map_cfg, pts_d, cos_d, val, p6,
-            self.insert_cand_cap,
+            self.insert_cand_cap, self.recenter_margin > 0,
         )
         self._pending_insert = (pts_d, cos_d, val, p6)
         if check_overflow:
@@ -387,7 +405,7 @@ class NerfLoamSLAM:
             pts, cos, val, p6 = self._pending_insert
             self.state.map_state = _insert_frame_jit(
                 self.state.map_state, self.map_cfg, pts, cos, val, p6,
-                self.insert_cand_cap,
+                self.insert_cand_cap, self.recenter_margin > 0,
             )
 
     def check_cand_overflow(self, num_cand: int):
@@ -409,7 +427,7 @@ class NerfLoamSLAM:
         pts, cos, val, p6 = self._pending_insert
         self.state.map_state = _insert_frame_jit(
             self.state.map_state, self.map_cfg, pts, cos, val, p6,
-            self.insert_cand_cap,
+            self.insert_cand_cap, self.recenter_margin > 0,
         )
         self.check_map_overflow()
 
@@ -673,6 +691,7 @@ class NerfLoamSLAM:
         cand_cap = self.insert_cand_cap
         kf_bias = self.bias_correction and self.bias_source == "keyframe"
         max_depth = self.rc_map.max_depth
+        margin = self.recenter_margin
 
         @jax.jit
         def mega(map_state, decoder_params, init6, lr, pts, cos, val_t, val_m,
@@ -682,7 +701,12 @@ class NerfLoamSLAM:
                 map_state, map_cfg, rc_t, tp, decoder_params, dec_meta,
                 init6, pts, cos, val_t, lr, k_track, sdf_bias,
             )
-            st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
+            if margin > 0:
+                st = vm.maybe_recenter_refresh(
+                    map_state, map_cfg, tr.pose[:3], margin
+                )
+            else:
+                st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
             ba = ba_mod.ba_step(
                 st, map_cfg, rc_m, bp, decoder_params, dec_meta,
                 tr.pose[None], pts[None], cos[None], val_m[None],
@@ -700,7 +724,8 @@ class NerfLoamSLAM:
             else:
                 surf_bias = ba.surface_bias
             st = vm.insert_frame(
-                st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap
+                st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap,
+                append_active=margin > 0,
             )
             return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
                     ba.touched_count, surf_bias)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -289,7 +290,7 @@ def pack_embeddings(state: MapState, cfg: MapConfig) -> jnp.ndarray:
 
 def insert_points(
     state: MapState, cfg: MapConfig, points_world: jnp.ndarray,
-    valid: jnp.ndarray, cand_cap: int = 0,
+    valid: jnp.ndarray, cand_cap: int = 0, append_active: bool = False,
 ) -> MapState:
     """Allocate voxels (and their corner lattice points) at observed points.
 
@@ -386,8 +387,45 @@ def insert_points(
     dest = jnp.where(act, vox_id, C)
     is_surface = state.is_surface.at[dest].set(True, mode="drop")
     corner_idx = state.corner_idx.at[dest].set(c_lid2, mode="drop")
-    return state._replace(
+    state = state._replace(
         is_surface=is_surface, corner_idx=corner_idx, num_cand=num_cand
+    )
+    if not append_active:
+        return state
+
+    # -- incrementally append the newly activated voxels to the per-frame
+    # active set (lazy-recenter mode, tpu_specs.recenter_margin > 0): the
+    # frontier voxels created this frame must be sampleable by the NEXT
+    # frame's tracker without a full refresh_active rebuild. Every activated
+    # candidate is new to the set (cand excludes already-surface voxels and
+    # refresh/append together cover all in-region surface voxels). Appended
+    # rows beyond active_cap are dropped but counted in n_active, so the
+    # host's check_active_overflow grows the cap and does a full rebuild.
+    A = acap(cfg)
+    F = cfg.feat_dim
+    arank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    pos = state.n_active + arank
+    fits = act & (pos < A)
+    adest = jnp.where(fits, pos, A)  # A = out of bounds -> dropped
+    active_ids = state.active_ids.at[adest].set(vox_id, mode="drop")
+    active_coords = state.active_coords.at[adest].set(vox_c, mode="drop")
+    vrel = vox_c - state.region_min
+    vflat, _ = _flat_cell(vrel, cfg.grid_dim)
+    grid_active = state.grid_active.at[
+        jnp.where(fits, vflat, total)
+    ].set(pos, mode="drop")
+    rows = (
+        state.embeddings[jnp.clip(c_lid2, 0)].astype(jnp.float32)
+        .reshape(Pc, 8 * F)
+    )
+    packed = state.packed.at[adest].set(rows, mode="drop")
+    n_active = state.n_active + jnp.sum(act, dtype=jnp.int32)
+    return state._replace(
+        active_ids=active_ids,
+        active_coords=active_coords,
+        grid_active=grid_active,
+        packed=packed,
+        n_active=n_active,
     )
 
 
@@ -451,6 +489,28 @@ def recenter_refresh(state: MapState, cfg: MapConfig, center_world: jnp.ndarray)
     return refresh_active(recenter(state, cfg, center_world), cfg)
 
 
+def maybe_recenter_refresh(
+    state: MapState, cfg: MapConfig, center_world: jnp.ndarray, margin: float
+) -> MapState:
+    """Lazy recenter (tpu_specs.recenter_margin): run the full grid rebuild +
+    active refresh + repack only when the sensor moved more than ``margin``
+    meters (max-abs over axes) from the current region center. Between
+    recenters the region stays fixed and insert_points(append_active=True)
+    keeps the active set current incrementally — the rebuild's ~55 ms/frame
+    amortizes over margin/frame-step frames. ``margin`` must leave coverage
+    slack: region half-extent >= max_depth + margin on every axis."""
+    dims = jnp.asarray(cfg.grid_dim, jnp.int32)
+    center_cells = state.region_min + dims // 2
+    region_center = center_cells.astype(jnp.float32) * cfg.voxel_size
+    delta = jnp.max(jnp.abs(center_world - region_center))
+    return jax.lax.cond(
+        delta > margin,
+        lambda s: recenter_refresh(s, cfg, center_world),
+        lambda s: s,
+        state,
+    )
+
+
 def insert_frame(
     state: MapState,
     cfg: MapConfig,
@@ -459,6 +519,7 @@ def insert_frame(
     valid: jnp.ndarray,          # (P,) bool
     pose6: jnp.ndarray,          # (6,)
     cand_cap: int = 0,           # see insert_points (single-pass support insert)
+    append_active: bool = False,  # see insert_points (lazy-recenter mode)
 ) -> MapState:
     """World-transform + insert fused into one dispatch (create_voxels,
     mapping.py:283-291).
@@ -474,7 +535,7 @@ def insert_frame(
     """
     world = se3.transform_points(pose6, points_sensor)
     if cfg.support_dist <= 0:
-        return insert_points(state, cfg, world, valid, cand_cap)
+        return insert_points(state, cfg, world, valid, cand_cap, append_active)
     dirs = points_sensor / (
         jnp.linalg.norm(points_sensor, axis=-1, keepdims=True) + 1e-8
     )
@@ -489,4 +550,5 @@ def insert_frame(
         jnp.concatenate(pts, axis=0),
         jnp.concatenate([valid] * len(pts), axis=0),
         cand_cap,
+        append_active,
     )

@@ -130,6 +130,15 @@ DEFAULTS = {
         "finalize_realign": False,       # re-register keyframes against the
         #                                  final field before the final
         #                                  replay/mesh (drift spreading)
+        "recenter_margin": 0.0,          # >0: lazy recentering — skip the
+        #                                  per-frame grid rebuild + repack
+        #                                  while the sensor is within this
+        #                                  many meters of the region center
+        #                                  (inserts append to the active set
+        #                                  incrementally). Must be <= region
+        #                                  half-extent - max_depth; <= the
+        #                                  region_margin default (4) is
+        #                                  always safe
         "track_method": "gn",            # "gn" (LM solver, default: ~10x lower
         #                                  curved-trajectory ATE at equal cost,
         #                                  docs/PERF.md A/B) | "adam" (reference
