@@ -675,10 +675,17 @@ class NerfLoamSLAM:
         st.frame_poses.append((len(st.keyframes) - 1, rel))
 
     def _megastep_for(self, tp):
-        """One jitted dispatch for the tracked-frame hot path:
+        """One dispatch for the tracked-frame hot path:
         track -> recenter+refresh_active -> BA(current frame) -> insert.
         The inner functions are themselves jitted and inline here; fusing
         them removes ~4 per-frame dispatch round trips over the host link.
+
+        dp == 1: plain jit. dp > 1 (GN tracker): the SAME body under
+        shard_map over the dp mesh — tracking rays and BA rays are
+        dp-sharded by global-draw-then-slice inside _track_gn_core /
+        _ba_core (map/decoder/optimizer state replicated, normal equations
+        and gradients psum'd over ICI), and the map-maintenance stages run
+        replicated. The whole frame stays ONE dispatch + ONE sync.
         Cached per (map_cfg, TrackParams) — capacity growth rebuilds it."""
         cache_key = (self.map_cfg, tp, self.insert_cand_cap)
         hit = self._mega_cache.get(cache_key)
@@ -688,48 +695,72 @@ class NerfLoamSLAM:
             self.bp_current
         dec_meta = self.state.decoder_meta
         track_fn = self._track_fn
+        track_method = self.track_method
         cand_cap = self.insert_cand_cap
         kf_bias = self.bias_correction and self.bias_source == "keyframe"
         max_depth = self.rc_map.max_depth
         margin = self.recenter_margin
 
-        @jax.jit
-        def mega(map_state, decoder_params, init6, lr, pts, cos, val_t, val_m,
-                 pose_free, update_decoder, ba_lrs, k_track, k_ba, sdf_bias,
-                 kf_pts, kf_val, kf_pose6):
-            tr = track_fn(
-                map_state, map_cfg, rc_t, tp, decoder_params, dec_meta,
-                init6, pts, cos, val_t, lr, k_track, sdf_bias,
-            )
-            if margin > 0:
-                st = vm.maybe_recenter_refresh(
-                    map_state, map_cfg, tr.pose[:3], margin
+        def make_body(axis_name, dp):
+            def mega(map_state, decoder_params, init6, lr, pts, cos, val_t,
+                     val_m, pose_free, update_decoder, ba_lrs, k_track, k_ba,
+                     sdf_bias, kf_pts, kf_val, kf_pose6):
+                if track_method == "gn":
+                    tr = tr_mod._track_gn_core(
+                        axis_name, dp, map_state, map_cfg, rc_t, tp,
+                        decoder_params, dec_meta, init6, pts, cos, val_t,
+                        lr, k_track, sdf_bias,
+                    )
+                else:
+                    tr = track_fn(
+                        map_state, map_cfg, rc_t, tp, decoder_params,
+                        dec_meta, init6, pts, cos, val_t, lr, k_track,
+                        sdf_bias,
+                    )
+                if margin > 0:
+                    st = vm.maybe_recenter_refresh(
+                        map_state, map_cfg, tr.pose[:3], margin
+                    )
+                else:
+                    st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
+                ba = ba_mod._ba_core(
+                    axis_name, dp, st, map_cfg, rc_m, bp, decoder_params,
+                    dec_meta, tr.pose[None], pts[None], cos[None],
+                    val_m[None], jnp.ones((1,), jnp.bool_), pose_free,
+                    update_decoder, ba_lrs, k_ba,
                 )
-            else:
-                st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
-            ba = ba_mod.ba_step(
-                st, map_cfg, rc_m, bp, decoder_params, dec_meta,
-                tr.pose[None], pts[None], cos[None], val_m[None],
-                jnp.ones((1,), jnp.bool_), pose_free,
-                update_decoder, ba_lrs, k_ba,
-            )
-            st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
-            if kf_bias:
-                # settled-bias probe on the current keyframe's cloud (see
-                # ba.surface_bias_at) — replaces the window transient probe
-                surf_bias = ba_mod.surface_bias_at(
-                    st, map_cfg, ba.decoder_params, dec_meta, kf_pose6,
-                    kf_pts, kf_val, max_depth,
+                st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
+                if kf_bias:
+                    # settled-bias probe on the current keyframe's cloud
+                    # (ba.surface_bias_at) — replaces the window probe
+                    surf_bias = ba_mod.surface_bias_at(
+                        st, map_cfg, ba.decoder_params, dec_meta, kf_pose6,
+                        kf_pts, kf_val, max_depth,
+                    )
+                else:
+                    surf_bias = ba.surface_bias
+                st = vm.insert_frame(
+                    st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap,
+                    append_active=margin > 0,
                 )
-            else:
-                surf_bias = ba.surface_bias
-            st = vm.insert_frame(
-                st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap,
-                append_active=margin > 0,
-            )
-            return (st, tr.pose, tr.hit_count, ba.poses, ba.decoder_params,
-                    ba.touched_count, surf_bias)
+                return (st, tr.pose, tr.hit_count, ba.poses,
+                        ba.decoder_params, ba.touched_count, surf_bias)
+            return mega
 
+        if self.dp == 1:
+            mega = jax.jit(make_body(None, 1))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            for n, lbl in ((tp.n_rays, "tracker"), (bp.n_rays, "mapper")):
+                if n % self.dp != 0:
+                    raise ValueError(
+                        f"{lbl} N_rays {n} not divisible by dp {self.dp}"
+                    )
+            mega = jax.jit(jax.shard_map(
+                make_body("dp", self.dp), mesh=self.mesh,
+                in_specs=P(), out_specs=P(), check_vma=False,
+            ))
         self._mega_cache[cache_key] = mega
         return mega
 
@@ -753,8 +784,9 @@ class NerfLoamSLAM:
             mapper_frame.index - st.first_frame_id
         ) < self.freeze_frame
 
-        if not frame.has_gt_pose and self.dp == 1:
+        if not frame.has_gt_pose and (self.dp == 1 or self.track_method == "gn"):
             # hot path: ONE fused dispatch + ONE sync for the whole frame
+            # (dp > 1: the same body under shard_map — see _megastep_for)
             with self.prof.section("megastep"):
                 last = st.last_frame
                 last_T = last.pose_matrix()
@@ -815,8 +847,8 @@ class NerfLoamSLAM:
                 self._update_sdf_bias(got[6])
                 self.check_cand_overflow(int(got[7]))
         else:
-            # staged path: GT poses (mapping-only), or tracked frames when
-            # BA runs on the dp mesh (the megastep fusion is single-chip)
+            # staged path: GT poses (mapping-only), or tracked frames under
+            # dp with the Adam tracker (only the GN tracker is dp-sharded)
             track_res = None
             if frame.has_gt_pose:
                 pose_dev = jnp.asarray(frame.pose6)

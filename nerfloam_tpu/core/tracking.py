@@ -68,8 +68,9 @@ class TrackResult(NamedTuple):
     loss: jnp.ndarray        # () float32 last-iteration loss
 
 
-@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "tp", "decoder_meta"))
-def track_frame_gn(
+def _track_gn_core(
+    axis_name: str | None,
+    dp_size: int,
     map_state: MapState,
     map_cfg: MapConfig,
     rc: RaycastConfig,
@@ -89,6 +90,15 @@ def track_frame_gn(
     #   integrate into per-frame drift
 ) -> TrackResult:
     """Levenberg-Marquardt pose tracking on the truncated-SDF residuals.
+
+    Multi-chip (axis_name set, inside shard_map): rays are dp-sharded by
+    global-draw-then-slice — every device draws the SAME Gumbel ray set
+    from the replicated key and processes its contiguous block, so the
+    union equals the single-chip draw exactly. The hit-table build / render
+    work parallelizes over rays; the 6x6 normal equations, the
+    count-balancing weights' sample counts, the loss, and the hit count
+    are psum'd, so every device solves the identical system and applies
+    the identical update — dp only changes float reduction order.
 
     TPU-first redesign of the reference's 25-step Adam loop
     (render_helpers.py:428-514): the pose is 6-DoF and the loss is a
@@ -111,8 +121,16 @@ def track_frame_gn(
         sample_from_hits,
     )
 
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     key, k_fixed = jax.random.split(key)
     ridx, rvalid = sample_ray_indices(k_fixed, points_valid, tp.n_rays)
+    if axis_name is not None:
+        n_loc = tp.n_rays // dp_size
+        i = jax.lax.axis_index(axis_name)
+        ridx = jax.lax.dynamic_slice_in_dim(ridx, i * n_loc, n_loc)
+        rvalid = jax.lax.dynamic_slice_in_dim(rvalid, i * n_loc, n_loc)
     pts = points[ridx]
     pcos = points_cos[ridx]
     dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-8)
@@ -175,8 +193,8 @@ def track_frame_gn(
         d = d_meas[:, None]
         front = (zc < (d - T)) & vmask
         band = vmask & ~front & ~(zc > (d + T)) & depth_ok[:, None]
-        num_fs = jnp.sum(front)
-        num_sdf = jnp.sum(band)
+        num_fs = allsum(jnp.sum(front))    # GLOBAL counts: the balancing
+        num_sdf = allsum(jnp.sum(band))    # weights must match single-chip
         tot = jnp.maximum(num_fs + num_sdf, 1).astype(jnp.float32)
         w_fs = tp.fs_weight * (1.0 - num_fs / tot)
         w_sdf = tp.sdf_weight * (1.0 - num_sdf / tot)
@@ -240,18 +258,18 @@ def track_frame_gn(
 
         xyz, t_pos, r, w, jscale = _residual_parts(pose6, z, embs, vmask)
         _, g = field_and_grad(xyz, embs)
-        loss_cur = jnp.sum(w * r * r)
+        loss_cur = allsum(jnp.sum(w * r * r))
 
         q = xyz - t_pos                                       # (N, M, 3)
         gj = g * jscale[..., None]
         J = jnp.concatenate([gj, jnp.cross(q, gj)], axis=-1)  # (N, M, 6)
         Jw = J * w[..., None]
-        H = jnp.einsum(
+        H = allsum(jnp.einsum(
             "nmi,nmj->ij", Jw, J, precision=jax.lax.Precision.HIGHEST
-        )
-        b = jnp.einsum(
+        ))
+        b = allsum(jnp.einsum(
             "nmi,nm->i", Jw, r, precision=jax.lax.Precision.HIGHEST
-        )
+        ))
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(6)
         delta = -jnp.linalg.solve(Hd, b)
         # trust region: clip translation to 0.5 m, rotation to 0.1 rad
@@ -266,13 +284,37 @@ def track_frame_gn(
         # jittered truncated-SDF loss is noisy enough that rejections stall
         # the small iteration budget (measured: accept-test LM diverged on
         # 60-frame sequences where fixed damping tracked fine)
-        return pose_try, lam, key, jnp.sum(ray_mask), loss_cur
+        return pose_try, lam, key, allsum(jnp.sum(ray_mask)), loss_cur
 
     init = (init_pose, jnp.asarray(1e-2, jnp.float32), key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
     pose6, _, _, hits, loss = jax.lax.fori_loop(0, tp.num_iterations, body, init)
     pose6 = jnp.where(hits > 0, pose6, init_pose)
     return TrackResult(pose6, hits, loss)
+
+
+@functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "tp", "decoder_meta"))
+def track_frame_gn(
+    map_state: MapState,
+    map_cfg: MapConfig,
+    rc: RaycastConfig,
+    tp: TrackParams,
+    decoder_params,
+    decoder_meta,
+    init_pose: jnp.ndarray,
+    points: jnp.ndarray,
+    points_cos: jnp.ndarray,
+    points_valid: jnp.ndarray,
+    learning_rate: jnp.ndarray,
+    key: jax.Array,
+    sdf_bias: jnp.ndarray | float = 0.0,
+) -> TrackResult:
+    """Single-chip LM/GN pose tracking (full contract: _track_gn_core)."""
+    return _track_gn_core(
+        None, 1, map_state, map_cfg, rc, tp, decoder_params, decoder_meta,
+        init_pose, points, points_cos, points_valid, learning_rate, key,
+        sdf_bias,
+    )
 
 
 def t_cap_for(points: jnp.ndarray, cos: jnp.ndarray, truncation: float, max_depth: float):

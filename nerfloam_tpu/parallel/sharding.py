@@ -109,10 +109,12 @@ def make_sharded_ba_iteration(
     sdf_weight: float = 10000.0,
 ):
     """One multi-chip BA iteration: rays dp-sharded, decoder tp-sharded,
-    map replicated; grads psum over dp (and tp contributions where sharded).
+    map replicated; grads psum over dp (and tp contributions where sharded);
+    parameters updated by the production optimizer (Adam, as core/ba.py).
 
-    Returns a jitted fn(map_state, dec_params, pose6, rays_pts, rays_cos,
-    rays_valid, lrs, key) -> (new_embeddings, new_dec_params, new_pose6, loss).
+    Returns (step, init_opt): ``opt_state = init_opt(map_state, dec, pose)``
+    then ``packed, dec, pose, loss, opt_state = step(map_state, dec, pose,
+    pts, cos, rvalid, lrs, key, opt_state)``.
     """
 
     def per_device(packed, dec, pose6, map_state, pts, cos, rvalid, key):
@@ -165,8 +167,10 @@ def make_sharded_ba_iteration(
         safe = jnp.clip(aid, 0)
         rows = st.packed[safe]
         embs = rows.reshape(rows.shape[:-1] + (8, F))
+        # center from the sample's own cell (identical for valid samples;
+        # see core/render.field_at) — no coords gather
         center = (
-            st.active_coords[safe].astype(jnp.float32) + 0.5
+            jnp.floor(xyz / map_cfg.voxel_size) + 0.5
         ) * map_cfg.voxel_size
         return interp_corner_features(xyz, center, embs, map_cfg.voxel_size)
 
@@ -198,17 +202,27 @@ def make_sharded_ba_iteration(
         check_vma=False,
     )
 
+    import optax
+
+    opt = optax.scale_by_adam()  # the production optimizer (core/ba.py uses
+    #   the same transform; BA re-inits it per call, so threading the state
+    #   across step calls here is the same chain semantics per window)
+
     @jax.jit
-    def step(map_state: MapState, dec_params, pose6, pts, cos, rvalid, lrs, key):
+    def init_opt(map_state: MapState, dec_params, pose6):
+        return opt.init((map_state.packed, dec_params, pose6))
+
+    @jax.jit
+    def step(map_state: MapState, dec_params, pose6, pts, cos, rvalid, lrs,
+             key, opt_state):
         loss, g_packed, g_dec, g_pose = sharded(
             map_state.packed, dec_params, pose6, map_state, pts, cos, rvalid, key
         )
-        # plain SGD here — per-iteration optimizer state lives in the
-        # single-chip path; this step demonstrates + serves the sharded
-        # forward/backward with explicit collectives.
-        packed = map_state.packed - lrs[0] * g_packed
-        dec = jax.tree.map(lambda p, g: p - lrs[1] * g, dec_params, g_dec)
-        pose = pose6 - lrs[2] * g_pose
-        return packed, dec, pose, loss
+        updates, opt_state = opt.update((g_packed, g_dec, g_pose), opt_state)
+        u_packed, u_dec, u_pose = updates
+        packed = map_state.packed - lrs[0] * u_packed
+        dec = jax.tree.map(lambda p, u: p - lrs[1] * u, dec_params, u_dec)
+        pose = pose6 - lrs[2] * u_pose
+        return packed, dec, pose, loss, opt_state
 
-    return step
+    return step, init_opt

@@ -207,3 +207,49 @@ def test_pipeline_dp_runs_and_tracks():
     est = np.asarray(poses)
     gt = dataset.gt_trajectory()[: len(est)]
     assert ev.ate_rmse(est, gt, align=False) < 0.6
+
+
+def test_sharded_gn_tracker_matches_single_chip():
+    """The dp-sharded GN tracker (_track_gn_core under shard_map: rays
+    global-draw-then-slice, H/b/counts/loss psum'd) must reproduce the
+    single-chip track_frame_gn pose to float-reduction-order tolerance."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    import __graft_entry__ as g
+    from nerfloam_tpu.core import tracking as tr_mod
+
+    (map_cfg, rc, state, dec_params, dec_meta, pose6, _r, _c, _v, frame) = (
+        g._build_tiny_problem(n_rays=256)
+    )
+    fpts, fcos, fval = frame
+    tp = tr_mod.TrackParams(
+        n_rays=256, num_iterations=4, truncation=0.3,
+        max_depth=rc.max_depth, fs_weight=1.0, sdf_weight=1000.0,
+    )
+    init = pose6 + jnp.asarray([0.05, -0.04, 0.02, 0, 0, 0.01], jnp.float32)
+    lr = jnp.asarray(0.01, jnp.float32)
+    key = jax.random.key(9)
+
+    for sampler in ("grid", "hits"):
+        rc_s = rc._replace(sampler=sampler)
+        ref = tr_mod.track_frame_gn(
+            state, map_cfg, rc_s, tp, dec_params, dec_meta, init,
+            fpts, fcos, fval, lr, key,
+        )
+        dp = 4
+        mesh = Mesh(np.asarray(jax.devices()[:dp]), ("dp",))
+
+        def body(map_state, dec, init6, pts, cos, val, lr_, k):
+            return tr_mod._track_gn_core(
+                "dp", dp, map_state, map_cfg, rc_s, tp, dec, dec_meta,
+                init6, pts, cos, val, lr_, k,
+            )
+
+        sharded = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+        ))
+        out = sharded(state, dec_params, init, fpts, fcos, fval, lr, key)
+        assert int(out.hit_count) == int(ref.hit_count), sampler
+        np.testing.assert_allclose(
+            np.asarray(out.pose), np.asarray(ref.pose), atol=2e-4,
+            err_msg=sampler,
+        )
