@@ -57,9 +57,13 @@ def test_multi_sequence_device_parallel():
         cfg = load_config(CFG_PATH, [
             "data_specs.n_frames=5",
             f"data_specs.seed={seed}",
-            "tpu_specs.bootstrap_steps=2",
-            "tracker_specs.num_iterations=5",
-            "mapper_specs.num_iterations=5",
+            # 8 iters / 3 bootstrap: the smallest budget where tracking is
+            # stably converged (ATE 0.12/0.25 across graph-level float
+            # perturbations) — at 5/2 the run is chaotic (0.7 -> 3.8 m from
+            # reassociation-level changes) and the assert below is a coin flip
+            "tpu_specs.bootstrap_steps=3",
+            "tracker_specs.num_iterations=8",
+            "mapper_specs.num_iterations=8",
         ])
         jobs.append((cfg, get_dataset(cfg)))
 
@@ -70,9 +74,9 @@ def test_multi_sequence_device_parallel():
         est = np.asarray(res["poses"])
         assert len(est) == 5
         gt = ds.gt_trajectory()[: len(est)]
-        # smoke-budget bound (5 frames x 5 iterations): proves tracking ran
+        # smoke-budget bound (5 frames x 8 iterations): proves tracking ran
         # per device, not a quality gate — those live in test_replica_gates
-        assert ev.ate_rmse(est, gt, align=False) < 1.2
+        assert ev.ate_rmse(est, gt, align=False) < 0.8
 
 
 CFG_PATH = "configs/synthetic/synthetic_small.yaml"
