@@ -34,6 +34,16 @@ def load_traj(path: str) -> np.ndarray:
     return arr
 
 
+def load_cloud(path: str) -> np.ndarray:
+    """(N, 3) float32 points from .npy / .ply / whitespace xyz text."""
+    if path.endswith(".npy"):
+        return np.load(path)[:, :3].astype(np.float32)
+    if path.endswith(".ply"):
+        pts, _ = read_ply(path)
+        return pts
+    return np.loadtxt(path)[:, :3].astype(np.float32)
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -48,8 +58,14 @@ def main():
     m.add_argument(
         "--crop-to-est", action="store_true",
         help="crop the GT cloud to the est mesh bounding box + 0.5 m "
-             "(observed-region proxy; the reference protocol similarly "
-             "excludes unobserved GT via SHINE's cropping)")
+             "(coarse proxy; prefer --crop-observed, which implements "
+             "SHINE's observed-region cropping)")
+    m.add_argument(
+        "--crop-observed", default=None,
+        help="observed point cloud (ply/npy/txt): keep only GT points "
+             "within --crop-radius of it (SHINE observed-region protocol; "
+             "evaluation.crop_to_observed)")
+    m.add_argument("--crop-radius", type=float, default=0.5)
     m.add_argument(
         "--clean-with", default=None,
         help="observed point cloud (ply/npy/txt) — cull mesh faces with no "
@@ -67,21 +83,11 @@ def main():
         }
     else:
         verts, faces = read_ply(args.mesh)
-        if args.gt_cloud.endswith(".npy"):
-            gt_pts = np.load(args.gt_cloud)[:, :3].astype(np.float32)
-        elif args.gt_cloud.endswith(".ply"):
-            gt_pts, _ = read_ply(args.gt_cloud)
-        else:  # whitespace-separated xyz text
-            gt_pts = np.loadtxt(args.gt_cloud)[:, :3].astype(np.float32)
+        gt_pts = load_cloud(args.gt_cloud)
         if args.clean_with:
             from nerfloam_tpu.map.mesher import clean_mesh, downsample_points
 
-            if args.clean_with.endswith(".npy"):
-                obs = np.load(args.clean_with)[:, :3].astype(np.float32)
-            elif args.clean_with.endswith(".ply"):
-                obs, _ = read_ply(args.clean_with)
-            else:
-                obs = np.loadtxt(args.clean_with)[:, :3].astype(np.float32)
+            obs = load_cloud(args.clean_with)
             faces = clean_mesh(
                 verts, faces, downsample_points(obs), args.clean_radius
             )
@@ -90,7 +96,11 @@ def main():
             if faces is not None and len(faces)
             else verts
         )
-        if args.crop_to_est:
+        if args.crop_observed:
+            gt_pts = ev.crop_to_observed(
+                gt_pts, load_cloud(args.crop_observed), args.crop_radius
+            )
+        elif args.crop_to_est:
             lo, hi = verts.min(0) - 0.5, verts.max(0) + 0.5
             keep = np.all((gt_pts >= lo) & (gt_pts <= hi), axis=1)
             gt_pts = gt_pts[keep]

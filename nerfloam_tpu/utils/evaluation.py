@@ -78,6 +78,47 @@ def sample_mesh_surface(verts: np.ndarray, faces: np.ndarray, n: int = 100000,
     )
 
 
+def crop_to_observed(
+    gt_pts: np.ndarray,
+    obs_pts: np.ndarray,
+    radius: float = 0.5,
+) -> np.ndarray:
+    """Crop a GT cloud to the region observed by ``obs_pts`` (the sensor's
+    world-frame scan points or a downsampled union of them).
+
+    SHINE-mapping's evaluation crops the GT map to the observed region so
+    completeness is not charged for surfaces the sensor never saw; the
+    reference uses that protocol (/root/reference/Readme.md:106-108). A GT
+    point is kept iff some observed point lies within ``radius``
+    (conservative voxel test: cell size = radius, 3x3x3 neighborhood —
+    keeps every point within radius, drops everything farther than
+    ~1.73 * radius). Replaces the earlier bounding-box proxy, which
+    overstates f-score on clouds with large unobserved interior regions.
+    """
+    cell = float(radius)
+    occ = np.unique(
+        np.floor(obs_pts[:, :3] / cell).astype(np.int64), axis=0
+    )
+    # pack 3 int coords into one int64 key (21 bits/axis, signed offset)
+    def key(c):
+        c = c + (1 << 20)
+        return (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
+
+    okeys = np.sort(key(occ))
+    gcell = np.floor(gt_pts[:, :3] / cell).astype(np.int64)
+    keep = np.zeros(len(gt_pts), dtype=bool)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if keep.all():
+                    break
+                k = key(gcell + np.array([dx, dy, dz], dtype=np.int64))
+                idx = np.searchsorted(okeys, k)
+                idx = np.minimum(idx, len(okeys) - 1)
+                keep |= okeys[idx] == k
+    return gt_pts[keep]
+
+
 def mesh_metrics(
     mesh_samples: np.ndarray,
     gt_samples: np.ndarray,

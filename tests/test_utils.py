@@ -123,6 +123,23 @@ def test_mesh_metrics_identity():
     assert m["accuracy_m"] < 1e-9
 
 
+def test_crop_to_observed():
+    rng = np.random.default_rng(3)
+    # observed: points along a line corridor; GT: corridor + far blob
+    obs = np.stack(
+        [np.linspace(0, 10, 200), np.zeros(200), np.zeros(200)], axis=1
+    ).astype(np.float32)
+    near = obs + rng.normal(scale=0.1, size=obs.shape)   # within radius
+    far = rng.normal(size=(300, 3)).astype(np.float32) + np.array([5, 50, 0])
+    gt = np.concatenate([near, far]).astype(np.float32)
+    kept = ev.crop_to_observed(gt, obs, radius=0.5)
+    # everything within radius kept, everything beyond ~1.73*radius dropped
+    assert len(kept) == len(near)
+    assert np.abs(kept[:, 1]).max() < 2.0
+    # degenerate: empty crop when nothing is near
+    assert len(ev.crop_to_observed(far, obs, radius=0.5)) == 0
+
+
 def test_gumbel_sampling_uniform_and_masked():
     from nerfloam_tpu.ops.sampling import sample_ray_indices
 
