@@ -4,6 +4,7 @@ finalize-time keyframe realignment (pipeline.finalize_realign)."""
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def test_surface_bias_at_measures_field_offset():
     np.testing.assert_allclose(b1 - b0, 0.125, atol=1e-3)
 
 
+@pytest.mark.slow  # ~2 min on 1-core CPU: full pipeline run
 def test_finalize_realign_smoke():
     """Pipeline run with finalize_realign + keyframe bias probe: completes,
     poses stay finite and close to the non-realigned result."""
@@ -103,6 +105,7 @@ def test_finalize_realign_smoke():
     assert np.isfinite(slam.sdf_bias)
 
 
+@pytest.mark.slow  # ~3 min on 1-core CPU: two full pipeline runs
 def test_lazy_recenter_matches_every_frame_rebuild():
     """recenter_margin > 0 (lazy rebuild + incremental active append) must
     produce the same trajectory as the every-frame rebuild: between

@@ -159,6 +159,7 @@ def test_tracking_recovers_pose(scene):
     assert err_after < err_before * 0.6, (err_before, err_after)
 
 
+@pytest.mark.slow  # ~2 min on 1-core CPU: 200-iteration field build
 def test_tracking_gn_recovers_pose(scene):
     world, frames = scene
     m = build_map(frames)

@@ -179,6 +179,7 @@ def test_sharded_grad_scale_matches_single_device():
     )
 
 
+@pytest.mark.slow  # ~1.5 min on 1-core CPU: dp=4 staged pipeline
 def test_pipeline_dp_runs_and_tracks():
     """Flag-gated multi-chip pipeline (tpu_specs.dp=4): staged tracked path
     with the sharded BA step processes frames and stays on-trajectory."""
