@@ -74,8 +74,8 @@ class BAParams(NamedTuple):
     #   voxel_map.reconcile_packed): "mean" | "sum"
     surface_anchor: int = 0  # extra samples per ray AT the measured point
     #   (core/render.extra_surface_columns), repeated this many times as the
-    #   anchor's loss weight: pins the SDF zero crossing, curing the
-    #   ~3 cm/frame along-track drift bias (docs/PERF.md). 0 = off
+    #   anchor's loss weight: pins the SDF zero crossing. Experimental —
+    #   not enabled by any shipped config; no recorded A/B. 0 = off
     band_samples: int = 0  # extra stratified samples per ray across the
     #   cosine-widened truncation band around the measured depth
     #   (core/render.band_sample_z); 0 = off

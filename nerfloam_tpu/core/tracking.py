@@ -360,34 +360,23 @@ def track_frame(
     # spurious minima (measured: converges ~0.3 m off on a scene the grid
     # path tracks to 7 cm). The GN tracker (cm-accurate warm start,
     # track_frame_gn) and BA (sub-mm pose motion) use rc.sampler.
-    use_hits = False
     occupancy = None
-    ht0 = rows_h0 = None
     if not tp.resample_rays:
-        # one ray batch + one occupancy march (or hit table + per-hit rows,
-        # rc.sampler == "hits") per tracking step, hoisted out of the Adam
-        # loop (pose moves millimeters within a step)
+        # one ray batch + one occupancy march per tracking step, hoisted out
+        # of the Adam loop (pose moves millimeters within a step)
         key, k_fixed = jax.random.split(key)
         ridx0, rvalid0 = sample_ray_indices(k_fixed, points_valid, tp.n_rays)
         pts0 = points[ridx0]
         pcos0 = points_cos[ridx0]
         dirs0 = pts0 / (jnp.linalg.norm(pts0, axis=-1, keepdims=True) + 1e-8)
         t_cap0 = t_cap_for(pts0, pcos0, tp.truncation, tp.max_depth)
-        from nerfloam_tpu.ops.raycast import build_hit_table, march_occupancy
+        from nerfloam_tpu.ops.raycast import march_occupancy
 
         wdirs0 = se3.rotate_dirs(init_pose, dirs0)
         origin0 = jnp.broadcast_to(se3.pose_translation(init_pose), wdirs0.shape)
-        if use_hits:
-            from nerfloam_tpu.core.render import hit_rows
-
-            ht0 = build_hit_table(
-                map_state, map_cfg, rc, origin0, wdirs0, t_cap0
-            )
-            rows_h0 = hit_rows(map_state, ht0)
-        else:
-            occupancy = march_occupancy(
-                map_state, map_cfg, rc, origin0, wdirs0, t_cap0
-            )
+        occupancy = march_occupancy(
+            map_state, map_cfg, rc, origin0, wdirs0, t_cap0
+        )
 
     def loss_fn(pose6, ridx, rvalid, k):
         k, k_extra = jax.random.split(k)
@@ -400,20 +389,11 @@ def track_frame(
             pts, pcos, dirs, t_cap = pts0, pcos0, dirs0, t_cap0
         wdirs = se3.rotate_dirs(pose6, dirs)     # (N, 3)
         origin = jnp.broadcast_to(se3.pose_translation(pose6), wdirs.shape)
-        if use_hits:
-            from nerfloam_tpu.core.render import render_rays_hits
-
-            out = render_rays_hits(
-                map_state, map_cfg, rc, decoder_params, decoder_meta,
-                origin, wdirs, ht0, rvalid, k, compute_dtype,
-                rows_h=rows_h0,
-            )
-        else:
-            out = render_rays(
-                map_state, map_cfg, rc, decoder_params, decoder_meta,
-                origin, wdirs, t_cap, rvalid, k, compute_dtype,
-                occupancy=occupancy,
-            )
+        out = render_rays(
+            map_state, map_cfg, rc, decoder_params, decoder_meta,
+            origin, wdirs, t_cap, rvalid, k, compute_dtype,
+            occupancy=occupancy,
+        )
         z_vals, sdf_v, valid_m = out.z_vals, out.sdf, out.valid_mask
         if tp.surface_anchor or tp.band_samples:
             from nerfloam_tpu.core.render import extra_surface_columns
