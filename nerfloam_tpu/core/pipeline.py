@@ -1018,12 +1018,33 @@ class NerfLoamSLAM:
     def _realign_keyframes(self):
         """Re-register every non-anchor keyframe against the final field
         (tpu_specs.finalize_realign; see __init__ comment). The first
-        keyframe stays fixed — it is the gauge anchor."""
+        keyframe stays fixed — it is the gauge anchor.
+
+        Cost bound: keyframes are visited in trajectory order, so with
+        tpu_specs.recenter_margin > 0 the region rebuild is lazy (same
+        maybe_recenter_refresh as the frame loop) and runs only every
+        ~margin/keyframe_gap keyframes instead of per keyframe; total cost
+        is O(K) track dispatches + O(K·gap/margin) rebuilds, timed under
+        the 'finalize_realign' profiler section."""
         st = self.state
         for kf in st.keyframes:
             if kf.index == st.first_frame_id:
                 continue
-            self._recenter(kf.pose6[:3])
+            if self.recenter_margin > 0:
+                # host-side lazy-margin check (same criterion as
+                # vm.maybe_recenter_refresh; finalize is host-paced anyway)
+                dims = np.asarray(self.map_cfg.grid_dim, np.int64)
+                center_cells = (
+                    np.asarray(st.map_state.region_min) + dims // 2
+                )
+                region_center = (
+                    center_cells.astype(np.float32) * self.map_cfg.voxel_size
+                )
+                delta = float(np.max(np.abs(kf.pose6[:3] - region_center)))
+                if delta > self.recenter_margin:
+                    self._recenter(kf.pose6[:3])
+            else:
+                self._recenter(kf.pose6[:3])
             pts_d, cos_d, val_d = kf.device_arrays()
             res = self._track_fn(
                 st.map_state, self.map_cfg, self.rc_track, self.tp,
@@ -1048,9 +1069,11 @@ class NerfLoamSLAM:
             v, f = self.extract_mesh()
             self.logger.log_mesh(v, f, name="final_mesh_noreplay.ply")
         if self.finalize_realign:
-            self._realign_keyframes()
+            with self.prof.section("finalize_realign"):
+                self._realign_keyframes()
         if self.final_iter:
-            self._replay(len(st.keyframes) + 1)
+            with self.prof.section("finalize_replay"):
+                self._replay(len(st.keyframes) + 1)
         poses = self.get_updated_poses()
         if self.logger is not None:
             self.logger.log_numpy_data(np.asarray(poses), "frame_poses")

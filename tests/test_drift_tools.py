@@ -73,10 +73,13 @@ def test_surface_bias_at_measures_field_offset():
     np.testing.assert_allclose(b1 - b0, 0.125, atol=1e-3)
 
 
-@pytest.mark.slow  # ~2 min on 1-core CPU: full pipeline run
-def test_finalize_realign_smoke():
+@pytest.mark.slow  # ~2 min/case on 1-core CPU: full pipeline run
+@pytest.mark.parametrize("margin", [0.0, 2.0])
+def test_finalize_realign_smoke(margin):
     """Pipeline run with finalize_realign + keyframe bias probe: completes,
-    poses stay finite and close to the non-realigned result."""
+    poses stay finite and close to the non-realigned result. margin=2.0
+    additionally exercises the lazy-recenter realign path (the host-side
+    margin check in _realign_keyframes)."""
     from nerfloam_tpu.core.pipeline import NerfLoamSLAM
     from nerfloam_tpu.data import get_dataset
     from nerfloam_tpu.utils.config import load_config
@@ -91,6 +94,7 @@ def test_finalize_realign_smoke():
         "tpu_specs.finalize_realign=true",
         "tpu_specs.bias_correction=true",
         "tpu_specs.bias_source=keyframe",
+        f"tpu_specs.recenter_margin={margin}",
     ])
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)
