@@ -44,9 +44,16 @@ def main():
     p.add_argument("--budget", choices=["micro", "ci"], default="micro")
     p.add_argument("--track", action="store_true",
                    help="track poses (default: GT poses, no tracking)")
+    p.add_argument("--config",
+                   default=os.path.join("configs", "synthetic",
+                                        "kitti_replica_ci.yaml"),
+                   help="base config (use kitti_replica.yaml + --budget ci "
+                        "for the full-budget chip run)")
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--report-every", type=int, default=50)
     p.add_argument("--json-out", default=None)
+    p.add_argument("--dump-traj", default=None,
+                   help="save est+gt trajectories to this .npz")
     args = p.parse_args()
 
     from nerfloam_tpu.core.pipeline import NerfLoamSLAM
@@ -58,10 +65,7 @@ def main():
         f"data_specs.n_frames={args.frames}",
         f"data_specs.use_gt={not args.track}",
     ] + args.set
-    cfg = load_config(
-        os.path.join("configs", "synthetic", "kitti_replica_ci.yaml"),
-        overrides,
-    )
+    cfg = load_config(args.config, overrides)
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)
 
@@ -104,11 +108,14 @@ def main():
 
     est = np.asarray(poses)
     gt = dataset.gt_trajectory()[: len(est)]
+    if args.dump_traj:
+        np.savez(args.dump_traj, est=est, gt=gt)
     out = {
         "n_frames": len(est),
         "wall_s": round(wall, 1),
         "scans_per_sec": round(len(est) / wall, 3),
         "ate_raw_m": round(ev.ate_rmse(est, gt, align=False), 4),
+        "ate_aligned_m": round(ev.ate_rmse(est, gt, align=True), 4),
         "final_capacity": slam.map_cfg.capacity,
         "final_num_lat": int(slam.state.map_state.num_lat),
         "keyframes": len(slam.state.keyframes),
@@ -117,6 +124,17 @@ def main():
     verts, faces = slam.extract_mesh(clean=True)
     out["mesh_verts"] = int(len(verts))
     out["mesh_extract_s"] = round(time.perf_counter() - t_mesh, 1)
+    # SHINE-protocol mesh scoring, same as scripts/eval_replica.py
+    if len(faces):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from eval_replica import observed_gt_cloud
+
+        mesh_pts = ev.sample_mesh_surface(verts, faces, 200000)
+        R, t = ev.umeyama_transform(est[:, :3, 3], gt[:, :3, 3])
+        mesh_pts = mesh_pts @ R.T + t
+        gt_pts = observed_gt_cloud(dataset)
+        m = ev.mesh_metrics(mesh_pts, gt_pts, f_threshold=0.2)
+        out.update({k: round(v, 4) for k, v in m.items()})
     print(json.dumps(out), flush=True)
     if args.json_out:
         with open(args.json_out, "w") as f:
