@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
+from nerfloam_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 
 def main():
     p = argparse.ArgumentParser()
