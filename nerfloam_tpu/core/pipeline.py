@@ -75,6 +75,12 @@ class SlamState:
     rel_pose: np.ndarray | None = None                # tracker state
     first_frame_id: int = 0
     frames_processed: int = 0
+    frame_telemetry: list = field(default_factory=list)  # per tracked frame:
+    #   (index, hit_ratio, track_loss, surface_bias) — divergence forensics
+    #   for long runs (the 500-frame replica's seed fragility is suspected
+    #   to be occasional tracker divergence; this records the frame it
+    #   happens at). Fetched in the existing per-frame sync: zero extra
+    #   round trips.
 
 
 class NerfLoamSLAM:
@@ -744,7 +750,8 @@ class NerfLoamSLAM:
                     append_active=margin > 0,
                 )
                 return (st, tr.pose, tr.hit_count, ba.poses,
-                        ba.decoder_params, ba.touched_count, surf_bias)
+                        ba.decoder_params, ba.touched_count, surf_bias,
+                        tr.loss)
             return mega
 
         if self.dp == 1:
@@ -816,7 +823,7 @@ class NerfLoamSLAM:
                 kf = st.current_keyframe
                 kf_pts, _, kf_val = kf.device_arrays()
                 (new_state, tpose, thits, ba_poses, dec_params,
-                 touched_count, surf_bias) = mega(
+                 touched_count, surf_bias, track_loss) = mega(
                     st.map_state, st.decoder_params, jnp.asarray(init6), lr,
                     pts_d, cos_d, val_t, val_m,
                     jnp.asarray(pose_free), jnp.asarray(bool(update_decoder)),
@@ -834,9 +841,13 @@ class NerfLoamSLAM:
                 got = jax.device_get(
                     (tpose, thits, ba_poses, new_state.num_lat,
                      new_state.n_active, touched_count, surf_bias,
-                     new_state.num_cand)
+                     new_state.num_cand, track_loss)
                 )
                 self.track_finalize(frame, got[0], int(got[1]))
+                st.frame_telemetry.append((
+                    frame.index, int(got[1]) / self.tp.n_rays,
+                    float(got[8]), float(got[6]),
+                ))
                 # mapper copy keeps its isolation; tracked base + BA refine
                 mapper_frame.pose6 = np.asarray(got[0], np.float32)
                 if pose_free[0]:
@@ -884,12 +895,16 @@ class NerfLoamSLAM:
                     [ba_res.poses, st.map_state.num_lat,
                      st.map_state.n_active, ba_res.touched_count,
                      bias_dev, st.map_state.num_cand]
-                    + ([track_res.pose, track_res.hit_count]
+                    + ([track_res.pose, track_res.hit_count, track_res.loss]
                        if track_res is not None else [])
                 )
                 if track_res is not None:
                     self.track_finalize(frame, got[6], int(got[7]))
                     mapper_frame.pose6 = np.asarray(got[6], np.float32)
+                    st.frame_telemetry.append((
+                        frame.index, int(got[7]) / self.tp.n_rays,
+                        float(got[8]), float(got[4]),
+                    ))
                 else:
                     # maintain tracker motion state on the GT path too so
                     # remove_back direction and a later switch to tracked

@@ -69,6 +69,8 @@ def save_checkpoint(path: str, slam) -> None:
         if st.frame_poses else np.zeros((0, 4, 4)),
         tracking_traj=np.asarray(st.tracking_trajectory).reshape(-1, 4, 4)
         if st.tracking_trajectory else np.zeros((0, 4, 4)),
+        frame_telemetry=np.asarray(st.frame_telemetry, np.float64).reshape(-1, 4)
+        if st.frame_telemetry else np.zeros((0, 4)),
         last_pose6=st.last_frame.pose6 if st.last_frame else np.zeros(6),
         rel_pose=st.rel_pose if st.rel_pose is not None else np.eye(4),
         # RNG state: resume is bit-reproducible against an uninterrupted run
@@ -149,6 +151,8 @@ def load_checkpoint(path: str, slam) -> None:
     )
     if "tracking_traj" in data:
         st.tracking_trajectory = list(data["tracking_traj"])
+    if "frame_telemetry" in data:
+        st.frame_telemetry = [tuple(r) for r in data["frame_telemetry"]]
     st.first_frame_id = manifest["first_frame_id"]
     st.frames_processed = manifest["frames_processed"]
     if manifest["last_frame_index"] >= 0:

@@ -73,7 +73,10 @@ def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
     est = np.asarray(poses)
     gt = dataset.gt_trajectory()[: len(est)]
     if dump_traj:
-        np.savez(dump_traj, est=est, gt=gt)
+        # telemetry: (frame_index, hit_ratio, track_loss, surface_bias) per
+        # tracked frame — divergence forensics for seed-fragility analysis
+        tele = np.asarray(slam.state.frame_telemetry, np.float64).reshape(-1, 4)
+        np.savez(dump_traj, est=est, gt=gt, telemetry=tele)
     out = {
         "n_frames": len(est),
         "wall_s": round(wall, 1),
