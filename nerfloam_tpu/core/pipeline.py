@@ -174,6 +174,19 @@ class NerfLoamSLAM:
                 f"got {self.track_method!r}"
             )
         self.const_vel_full = bool(tpu.get("const_vel_full", False))
+        self.s2s_weight = float(tpu.get("s2s_weight", 0.0))
+        if self.s2s_weight > 0 and self.track_method == "gn":
+            from nerfloam_tpu.core.scan2scan import Scan2ScanParams
+
+            base_tp["s2s"] = Scan2ScanParams(
+                weight=self.s2s_weight,
+                n_elev=int(tpu.get("s2s_elev", 64)),
+                n_az=int(tpu.get("s2s_az", 1024)),
+                gate_dist=float(tpu.get("s2s_gate", 1.0)),
+                huber=float(tpu.get("s2s_huber", 0.2)),
+                min_depth=float(cfg.data_specs.get("min_depth", 0.5)),
+                max_depth=shapes["max_depth"],
+            )
         if self.track_method == "gn":
             n_iter = int(tpu.get("track_gn_iterations", 8))
             self.tp = tr_mod.TrackParams(num_iterations=n_iter, **base_tp)
@@ -707,15 +720,28 @@ class NerfLoamSLAM:
         max_depth = self.rc_map.max_depth
         margin = self.recenter_margin
 
+        use_s2s = track_method == "gn" and tp.s2s is not None
+
         def make_body(axis_name, dp):
             def mega(map_state, decoder_params, init6, lr, pts, cos, val_t,
                      val_m, pose_free, update_decoder, ba_lrs, k_track, k_ba,
-                     sdf_bias, kf_pts, kf_val, kf_pose6):
+                     sdf_bias, kf_pts, kf_val, kf_pose6, prev_pts, prev_val,
+                     prev_pose6):
                 if track_method == "gn":
+                    if use_s2s:
+                        # rasterize the previous scan once per frame
+                        # (replicated under dp — two scatters)
+                        from nerfloam_tpu.core.scan2scan import build_prev_scan
+
+                        prev = build_prev_scan(
+                            tp.s2s, prev_pts, prev_val, prev_pose6
+                        )
+                    else:
+                        prev = None
                     tr = tr_mod._track_gn_core(
                         axis_name, dp, map_state, map_cfg, rc_t, tp,
                         decoder_params, dec_meta, init6, pts, cos, val_t,
-                        lr, k_track, sdf_bias,
+                        lr, k_track, sdf_bias, prev,
                     )
                 else:
                     tr = track_fn(
@@ -822,6 +848,7 @@ class NerfLoamSLAM:
                 mega = self._megastep_for(tp)
                 kf = st.current_keyframe
                 kf_pts, _, kf_val = kf.device_arrays()
+                prev_pts, _, prev_val = last.device_arrays()
                 (new_state, tpose, thits, ba_poses, dec_params,
                  touched_count, surf_bias, track_loss) = mega(
                     st.map_state, st.decoder_params, jnp.asarray(init6), lr,
@@ -833,6 +860,7 @@ class NerfLoamSLAM:
                         jnp.float32,
                     ),
                     kf_pts, kf_val, jnp.asarray(kf.pose6),
+                    prev_pts, prev_val, jnp.asarray(last.pose6),
                 )
                 st.map_state = new_state
                 st.decoder_params = dec_params

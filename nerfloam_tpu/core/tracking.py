@@ -60,6 +60,10 @@ class TrackParams(NamedTuple):
     #   cosine-widened truncation band around the measured depth
     #   (core/render.band_sample_z): guaranteed constraint density on both
     #   sides of every surface point; 0 = off
+    s2s: object = None  # core.scan2scan.Scan2ScanParams | None — add the
+    #   scan-to-scan projective point-to-plane term to the GN system
+    #   (tpu_specs.s2s_weight > 0, GN tracker only). Map-independent
+    #   relative-motion observation targeting along-track drift.
 
 
 class TrackResult(NamedTuple):
@@ -88,6 +92,8 @@ def _track_gn_core(
     #   (2,) [ground, non-ground] or a scalar; pose optimization targets
     #   sdf = bias at measured points so the field's fit bias does not
     #   integrate into per-frame drift
+    prev_scan=None,  # core.scan2scan.PrevScan — rasterized previous scan
+    #   for the s2s term (required iff tp.s2s is set)
 ) -> TrackResult:
     """Levenberg-Marquardt pose tracking on the truncated-SDF residuals.
 
@@ -270,6 +276,16 @@ def _track_gn_core(
         b = allsum(jnp.einsum(
             "nmi,nm->i", Jw, r, precision=jax.lax.Precision.HIGHEST
         ))
+        if tp.s2s is not None and prev_scan is not None:
+            # scan-to-scan point-to-plane term on the same ray subset: the
+            # residuals share this device's rays, so the psum'd sums equal
+            # the single-chip system exactly (core/scan2scan.py)
+            from nerfloam_tpu.core.scan2scan import s2s_system
+
+            Hs, bs, ls = s2s_system(tp.s2s, prev_scan, pose6, pts, rvalid)
+            H = H + allsum(Hs)
+            b = b + allsum(bs)
+            loss_cur = loss_cur + allsum(ls)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(6)
         delta = -jnp.linalg.solve(Hd, b)
         # trust region: clip translation to 0.5 m, rotation to 0.1 rad
@@ -308,12 +324,13 @@ def track_frame_gn(
     learning_rate: jnp.ndarray,
     key: jax.Array,
     sdf_bias: jnp.ndarray | float = 0.0,
+    prev_scan=None,
 ) -> TrackResult:
     """Single-chip LM/GN pose tracking (full contract: _track_gn_core)."""
     return _track_gn_core(
         None, 1, map_state, map_cfg, rc, tp, decoder_params, decoder_meta,
         init_pose, points, points_cos, points_valid, learning_rate, key,
-        sdf_bias,
+        sdf_bias, prev_scan,
     )
 
 

@@ -154,6 +154,13 @@ def rotate_dirs(p6: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(dirs, jnp.swapaxes(R, -1, -2), precision=_HI)
 
 
+def inv_transform_points(p6: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply the INVERSE pose to points: R^T @ (p - t)."""
+    R = pose_rotation(p6)
+    t = pose_translation(p6)
+    return jnp.matmul(pts - t[..., None, :], R, precision=_HI)
+
+
 def compose_matrices(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(A, B, precision=_HI)
 

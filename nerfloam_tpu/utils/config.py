@@ -168,6 +168,17 @@ DEFAULTS = {
         #                                  replay step every N frames
         #                                  (reference mapper parity; re-pins
         #                                  old regions against drift)
+        "s2s_weight": 0.0,               # >0: scan-to-scan projective
+        #                                  point-to-plane term in the GN
+        #                                  tracker (core/scan2scan.py) —
+        #                                  map-independent relative-motion
+        #                                  observation against along-track
+        #                                  drift. ~5-50 balances it against
+        #                                  the SDF term; 0 = off
+        "s2s_elev": 64,                  # s2s range-image elevation bins
+        "s2s_az": 1024,                  # s2s range-image azimuth bins
+        "s2s_gate": 1.0,                 # s2s correspondence gate (m)
+        "s2s_huber": 0.2,                # s2s Huber transition (m)
 
         "const_vel_full": True,          # SE(3) warm start incl. rotation
         #                                  (A/B docs/PERF.md: best raw ATE;
