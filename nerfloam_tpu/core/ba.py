@@ -404,16 +404,28 @@ def surface_bias_at(
     points_valid: jnp.ndarray,  # (P,)
     max_depth: float,
     compute_dtype=jnp.float32,
+    points_cos: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Mean field value at one frame's measured surface points under its
-    pose — the SETTLED-bias probe (tpu_specs.bias_source='keyframe').
+    """Per-class mean field value at one frame's measured surface points
+    under its pose — the SETTLED-bias probe (tpu_specs.bias_source=
+    'keyframe').
 
     The per-BA-step window probe (BAParams.measure_bias) reads the field
     right after optimizing on those very points, i.e. the post-BA overfit
     transient; the tracker meanwhile sees surfaces trained FRAMES ago. This
     probe evaluates the current keyframe's cloud instead — geometry whose
     training has settled — which is the offset the next tracked frame
-    actually encounters (docs/PERF.md round-3 drift section)."""
+    actually encounters (docs/PERF.md round-3 drift section).
+
+    Returns (2, 2): row 0 = [ground mean, non-ground mean], row 1 = the
+    two sample counts (0 count = no estimate this frame; the host EMA
+    skips that class). Pooling rows with their counts reproduces the old
+    scalar probe exactly; tpu_specs.bias_classes=2 keeps them separate —
+    ground (most points, trained densely) and walls/structure (the
+    range-constraining surfaces) can settle to different offsets, and a
+    pooled target mis-places whichever class dominates less.
+    NOTE: distinct from the round-2 REJECTED per-class split, which read
+    the transient window probe (docs/PERF.md round-2 section)."""
     xyz = se3.transform_points(pose6, points)
     cells = jnp.floor(xyz / map_cfg.voxel_size).astype(jnp.int32)
     aid = vm.lookup_active(map_state, map_cfg, cells)
@@ -423,9 +435,18 @@ def surface_bias_at(
         map_state, map_cfg, decoder_params, decoder_meta, xyz, aid,
         compute_dtype,
     ).astype(jnp.float32)
-    return jnp.sum(jnp.where(m, sdf_pts, 0.0)) / jnp.maximum(
-        jnp.sum(m), 1
-    ).astype(jnp.float32)
+    if points_cos is None:
+        ground = jnp.zeros_like(m)
+    else:
+        ground = points_cos < 0.999
+    out = []
+    for cls in (m & ground, m & ~ground):
+        c = jnp.sum(cls)
+        s = jnp.sum(jnp.where(cls, sdf_pts, 0.0))
+        out.append((s / jnp.maximum(c, 1).astype(jnp.float32),
+                    c.astype(jnp.float32)))
+    (bg, cg), (bn, cn) = out
+    return jnp.stack([jnp.stack([bg, bn]), jnp.stack([cg, cn])])
 
 
 @functools.partial(jax.jit, static_argnames=("map_cfg", "rc", "bp", "decoder_meta"))

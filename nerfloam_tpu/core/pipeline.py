@@ -211,7 +211,16 @@ class NerfLoamSLAM:
                 f"tpu_specs.bias_source must be 'window' or 'keyframe', "
                 f"got {self.bias_source!r}"
             )
-        self.sdf_bias = 0.0
+        # 1 = pooled target (shipped); 2 = separate ground / non-ground
+        # targets from the settled keyframe probe (ba.surface_bias_at)
+        self.bias_classes = int(tpu.get("bias_classes", 1))
+        if self.bias_classes == 2 and self.bias_source != "keyframe":
+            raise ValueError(
+                "tpu_specs.bias_classes=2 requires bias_source='keyframe' "
+                "(the window probe is pooled; its per-class split was "
+                "measured worse — docs/PERF.md round-2)"
+            )
+        self.sdf_bias = np.zeros(2, np.float32)  # [ground, non-ground]
         # device-resident constants (uploading a scalar per frame costs a
         # host round trip on remote-device links)
         self._lr_track_hi = jnp.asarray(self.track_lr * 2, jnp.float32)
@@ -475,13 +484,41 @@ class NerfLoamSLAM:
         self._mega_cache.clear()  # bp_current is baked into the megastep
         self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
 
+    @staticmethod
+    def _pooled_bias(surface_bias) -> float:
+        """Count-weighted pooled value of a (2,2) [biases; counts] probe
+        (scalar probes pass through)."""
+        arr = np.asarray(surface_bias, np.float64)
+        if arr.ndim == 0:
+            return float(arr)
+        b, c = arr[0], arr[1]
+        tot = c.sum()
+        return float((b * c).sum() / tot) if tot > 0 else float("nan")
+
     def _update_sdf_bias(self, surface_bias):
-        """EMA the BA step's measured surface offset into the tracking band
-        target (bias transfer; BAResult.surface_bias docstring)."""
-        sb = float(surface_bias)
-        if not self.bias_correction or not np.isfinite(sb):
+        """EMA the measured surface offset(s) into the tracking band target
+        (bias transfer; BAResult.surface_bias / ba.surface_bias_at).
+
+        ``self.sdf_bias`` is (2,) [ground, non-ground]. bias_classes=1
+        (default, shipped behavior): both entries track the count-pooled
+        mean — identical to the old scalar EMA. bias_classes=2 (keyframe
+        probe only): per-class EMA; a class with zero valid samples this
+        frame keeps its previous estimate."""
+        if not self.bias_correction:
             return
-        self.sdf_bias = 0.8 * self.sdf_bias + 0.2 * sb
+        arr = np.asarray(surface_bias, np.float64)
+        if self.bias_classes == 2 and arr.ndim == 2:
+            b, c = arr[0], arr[1]
+            upd = (c > 0) & np.isfinite(b)
+            self.sdf_bias = np.where(
+                upd, 0.8 * self.sdf_bias + 0.2 * b, self.sdf_bias
+            ).astype(np.float32)
+        else:
+            sb = self._pooled_bias(surface_bias)
+            if np.isfinite(sb):
+                self.sdf_bias = (
+                    0.8 * self.sdf_bias + 0.2 * sb
+                ).astype(np.float32)
 
     def check_touched_overflow(self, touched_count: int):
         """Warn + grow when a BA step touched more voxels than touched_cap
@@ -725,8 +762,8 @@ class NerfLoamSLAM:
         def make_body(axis_name, dp):
             def mega(map_state, decoder_params, init6, lr, pts, cos, val_t,
                      val_m, pose_free, update_decoder, ba_lrs, k_track, k_ba,
-                     sdf_bias, kf_pts, kf_val, kf_pose6, prev_pts, prev_val,
-                     prev_pose6):
+                     sdf_bias, kf_pts, kf_cos, kf_val, kf_pose6, prev_pts,
+                     prev_val, prev_pose6):
                 if track_method == "gn":
                     if use_s2s:
                         # rasterize the previous scan once per frame
@@ -767,10 +804,15 @@ class NerfLoamSLAM:
                     # (ba.surface_bias_at) — replaces the window probe
                     surf_bias = ba_mod.surface_bias_at(
                         st, map_cfg, ba.decoder_params, dec_meta, kf_pose6,
-                        kf_pts, kf_val, max_depth,
+                        kf_pts, kf_val, max_depth, points_cos=kf_cos,
                     )
                 else:
-                    surf_bias = ba.surface_bias
+                    # pooled window probe -> the same (2, 2) [biases; counts]
+                    # layout as the per-class probe
+                    surf_bias = jnp.stack([
+                        jnp.stack([ba.surface_bias, ba.surface_bias]),
+                        jnp.ones((2,), jnp.float32),
+                    ])
                 st = vm.insert_frame(
                     st, map_cfg, pts, cos, val_m, ba.poses[0], cand_cap,
                     append_active=margin > 0,
@@ -847,7 +889,7 @@ class NerfLoamSLAM:
                 pose_free = np.array([frame.index != st.first_frame_id])
                 mega = self._megastep_for(tp)
                 kf = st.current_keyframe
-                kf_pts, _, kf_val = kf.device_arrays()
+                kf_pts, kf_cos, kf_val = kf.device_arrays()
                 prev_pts, _, prev_val = last.device_arrays()
                 (new_state, tpose, thits, ba_poses, dec_params,
                  touched_count, surf_bias, track_loss) = mega(
@@ -856,10 +898,11 @@ class NerfLoamSLAM:
                     jnp.asarray(pose_free), jnp.asarray(bool(update_decoder)),
                     self._ba_lrs_dev, self._next_key(), self._next_key(),
                     jnp.asarray(
-                        self.sdf_bias if self.bias_correction else 0.0,
+                        self.sdf_bias if self.bias_correction
+                        else np.zeros(2, np.float32),
                         jnp.float32,
                     ),
-                    kf_pts, kf_val, jnp.asarray(kf.pose6),
+                    kf_pts, kf_cos, kf_val, jnp.asarray(kf.pose6),
                     prev_pts, prev_val, jnp.asarray(last.pose6),
                 )
                 st.map_state = new_state
@@ -874,7 +917,7 @@ class NerfLoamSLAM:
                 self.track_finalize(frame, got[0], int(got[1]))
                 st.frame_telemetry.append((
                     frame.index, int(got[1]) / self.tp.n_rays,
-                    float(got[8]), float(got[6]),
+                    float(got[8]), self._pooled_bias(got[6]),
                 ))
                 # mapper copy keeps its isolation; tracked base + BA refine
                 mapper_frame.pose6 = np.asarray(got[0], np.float32)
@@ -905,11 +948,11 @@ class NerfLoamSLAM:
                 )
             if self.bias_correction and self.bias_source == "keyframe":
                 kf = st.current_keyframe
-                kf_pts, _, kf_val = kf.device_arrays()
+                kf_pts, kf_cos, kf_val = kf.device_arrays()
                 bias_dev = _surface_bias_jit(
                     st.map_state, self.map_cfg, st.decoder_params,
                     st.decoder_meta, jnp.asarray(kf.pose6), kf_pts, kf_val,
-                    self.rc_map.max_depth,
+                    self.rc_map.max_depth, points_cos=kf_cos,
                 )
             else:
                 bias_dev = ba_res.surface_bias
@@ -931,7 +974,7 @@ class NerfLoamSLAM:
                     mapper_frame.pose6 = np.asarray(got[6], np.float32)
                     st.frame_telemetry.append((
                         frame.index, int(got[7]) / self.tp.n_rays,
-                        float(got[8]), float(got[4]),
+                        float(got[8]), self._pooled_bias(got[4]),
                     ))
                 else:
                     # maintain tracker motion state on the GT path too so

@@ -91,7 +91,9 @@ def save_checkpoint(path: str, slam) -> None:
         "has_rel_pose": st.rel_pose is not None,
         "last_frame_index": st.last_frame.index if st.last_frame else -1,
         "py_rng_version": slam.pyrng.getstate()[0],
-        "sdf_bias": float(getattr(slam, "sdf_bias", 0.0)),
+        "sdf_bias": np.asarray(
+            getattr(slam, "sdf_bias", 0.0), np.float64
+        ).reshape(-1).tolist(),  # (2,) [ground, non-ground] since r4
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -172,4 +174,6 @@ def load_checkpoint(path: str, slam) -> None:
         inner = tuple(int(x) for x in data["py_rng"])
         slam.pyrng.setstate((manifest.get("py_rng_version", 3), inner, None))
     sb = np.asarray(manifest.get("sdf_bias", 0.0), np.float64).reshape(-1)
-    slam.sdf_bias = float(sb.mean()) if sb.size else 0.0
+    # scalar (pre-r4 checkpoints) broadcasts into the (2,) per-class target
+    slam.sdf_bias = np.full(2, sb.mean() if sb.size else 0.0, np.float32) \
+        if sb.size != 2 else sb.astype(np.float32)

@@ -127,6 +127,11 @@ DEFAULTS = {
         #                                  (post-BA transient, round-2) |
         #                                  "keyframe" (settled keyframe
         #                                  cloud, ba.surface_bias_at)
+        "bias_classes": 1,               # 1 = pooled band target (shipped);
+        #                                  2 = separate ground / non-ground
+        #                                  targets from the settled keyframe
+        #                                  probe (requires
+        #                                  bias_source=keyframe)
         "finalize_realign": False,       # re-register keyframes against the
         #                                  final field before the final
         #                                  replay/mesh (drift spreading)

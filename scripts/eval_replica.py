@@ -84,6 +84,27 @@ def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
         "ate_raw_m": round(ev.ate_rmse(est, gt, align=False), 4),
         "ate_aligned_m": round(ev.ate_rmse(est, gt, align=True), 4),
     }
+    # per-frame drift rates (scripts/traj_decompose.py decomposition): these
+    # are rate quantities, so unlike ATE they discriminate drift-class
+    # regressions even at short horizons — the micro CI gate keys on them
+    rel_e = np.linalg.inv(est[:-1]) @ est[1:]
+    rel_g = np.linalg.inv(gt[:-1]) @ gt[1:]
+    diff = rel_e[:, :3, 3] - rel_g[:, :3, 3]
+    fwd = rel_g[:, :3, 3] / (
+        np.linalg.norm(rel_g[:, :3, 3], axis=1, keepdims=True) + 1e-9
+    )
+    along = np.einsum("ij,ij->i", diff, fwd)
+    lat = np.linalg.norm(diff - along[:, None] * fwd, axis=1)
+    yaw_e = np.arctan2(rel_e[:, 1, 0], rel_e[:, 0, 0])
+    yaw_g = np.arctan2(rel_g[:, 1, 0], rel_g[:, 0, 0])
+    out.update({
+        "drift_along_cm_f": round(float(along.mean()) * 100, 4),
+        "drift_lat_cm_f": round(float(lat.mean()) * 100, 4),
+        "drift_z_cm_f": round(float((diff[:, 2]).mean()) * 100, 4),
+        "drift_yaw_deg_f": round(
+            float(np.degrees(yaw_e - yaw_g).mean()), 5
+        ),
+    })
 
     # SHINE-protocol mesh eval: faces culled against the observed keyframe
     # cloud (clean_mesh), mesh brought into the GT frame by the trajectory

@@ -113,7 +113,8 @@ def main():
     est = np.asarray(poses)
     gt = dataset.gt_trajectory()[: len(est)]
     if args.dump_traj:
-        np.savez(args.dump_traj, est=est, gt=gt)
+        tele = np.asarray(slam.state.frame_telemetry, np.float64).reshape(-1, 4)
+        np.savez(args.dump_traj, est=est, gt=gt, telemetry=tele)
     out = {
         "n_frames": len(est),
         "wall_s": round(wall, 1),

@@ -54,11 +54,18 @@ def test_surface_bias_at_measures_field_offset():
         jnp.asarray(True), jnp.asarray([0.01, 0.001, 0.001], jnp.float32),
         jax.random.key(3),
     )
+    def pooled(probe):
+        b, c = np.asarray(probe)
+        return float((b * c).sum() / max(c.sum(), 1.0))
+
     m2 = m._replace(embeddings=res.embeddings, packed=res.packed)
-    b0 = float(surface_bias_at(
+    probe0 = surface_bias_at(
         m2, cfg, res.decoder_params, meta, jnp.zeros((6,)),
         jnp.asarray(buf), jnp.asarray(val), 12.0,
-    ))
+    )
+    # no cos passed -> everything lands in the non-ground class
+    assert float(np.asarray(probe0)[1, 0]) == 0.0
+    b0 = pooled(probe0)
     # consistency with the in-BA window probe (same points, same field)
     assert abs(b0 - float(res.surface_bias)) < 1e-4
     assert abs(b0) < 0.3  # trained field: offset well inside the band
@@ -66,11 +73,22 @@ def test_surface_bias_at_measures_field_offset():
     dec2 = jax.tree.map(lambda x: x, res.decoder_params)
     dec2["out"] = dict(dec2["out"])
     dec2["out"]["b"] = dec2["out"]["b"] + 0.125
-    b1 = float(surface_bias_at(
+    b1 = pooled(surface_bias_at(
         m2, cfg, dec2, meta, jnp.zeros((6,)),
         jnp.asarray(buf), jnp.asarray(val), 12.0,
     ))
     np.testing.assert_allclose(b1 - b0, 0.125, atol=1e-3)
+    # per-class separation: mark half the points ground and shift ONLY the
+    # probe's ground class via cos — the two rows must differ accordingly
+    cos2 = cos.copy()
+    cos2[: pad // 2] = 0.5  # ground class
+    probe2 = np.asarray(surface_bias_at(
+        m2, cfg, res.decoder_params, meta, jnp.zeros((6,)),
+        jnp.asarray(buf), jnp.asarray(val), 12.0,
+        points_cos=jnp.asarray(cos2),
+    ))
+    assert probe2[1, 0] > 0 and probe2[1, 1] > 0  # both classes populated
+    assert abs(pooled(probe2) - b0) < 0.05  # same field, same pooled value
 
 
 @pytest.mark.slow  # ~2 min/case on 1-core CPU: full pipeline run
@@ -105,8 +123,8 @@ def test_finalize_realign_smoke(margin):
     gt = dataset.gt_trajectory()[: len(est)]
     err = ev.ate_rmse(est, gt, align=False)
     assert err < 1.0, err  # smoke bound (tiny iteration budget)
-    # the settled-bias EMA actually updated
-    assert np.isfinite(slam.sdf_bias)
+    # the settled-bias EMA actually updated ((2,) [ground, non-ground])
+    assert np.isfinite(slam.sdf_bias).all()
 
 
 @pytest.mark.slow  # ~3 min on 1-core CPU: two full pipeline runs
