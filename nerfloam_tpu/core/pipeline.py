@@ -29,6 +29,7 @@ sweeps the whole map.
 
 from __future__ import annotations
 
+import functools
 import random as pyrandom
 from dataclasses import dataclass, field
 
@@ -54,6 +55,22 @@ _insert_frame_jit = jax.jit(
 _surface_bias_jit = jax.jit(
     ba_mod.surface_bias_at, static_argnames=("map_cfg", "decoder_meta")
 )
+
+
+@functools.partial(jax.jit, static_argnames=("full",))
+def _const_vel_jit(last6: jnp.ndarray, prev6: jnp.ndarray, full: bool):
+    """Constant-velocity warm start computed ON DEVICE from the raw tracked
+    poses of the two previous frames (defer_sync path: the host never sees
+    the previous pose before dispatching the next frame). Matches the host
+    path exactly: rel = inv(T_prev) @ T_last, init = T_last @ rel; full=False
+    propagates translation only (reference tracking.py:113)."""
+    t_last = se3.pose_matrix(last6)
+    t_prev = se3.pose_matrix(prev6)
+    rel = se3.compose_matrices(se3.invert_matrix(t_prev), t_last)
+    t_const = se3.compose_matrices(t_last, rel)
+    if not full:
+        t_const = t_last.at[:3, 3].set(t_const[:3, 3])
+    return se3.pose_from_matrix(t_const)
 
 
 @dataclass
@@ -317,6 +334,22 @@ class NerfLoamSLAM:
         self.ckpt_freq = int(cfg.debug_args.get("ckpt_freq", -1))
         self.save_data_freq = int(cfg.debug_args.get("save_data_freq", -1))
         self.bootstrap_steps = int(cfg.tpu_specs["bootstrap_steps"])
+
+        # defer_sync: depth-1 dispatch pipeline over the megastep hot path.
+        # Dispatch frame N, then fetch frame N-1's results while the device
+        # computes N — the host link latency and bookkeeping fully overlap
+        # device compute (the next frame is already queued when the fetch
+        # starts). Host decisions that consumed the fetched pose (keyframe
+        # insertion, bias EMA, remove_back direction, lazy recenter) lag one
+        # frame; the constant-velocity warm start moves on device
+        # (_const_vel_jit). Overflow detection also lags one frame: the rare
+        # detect-grow-retry replays the in-flight frame from its saved
+        # pre-dispatch state (_mega_finalize).
+        self.defer_sync = bool(tpu.get("defer_sync", False))
+        self._inflight = None        # in-flight dispatch record (dict)
+        self._dev_last_pose6 = None  # raw tracked pose, last dispatched frame
+        self._dev_prev_pose6 = None  # ... and the frame before it
+        self._defer_replays = 0      # times the rewind+replay path ran
 
         self._mega_cache = {}
         # multi-chip: rays dp-sharded over a device mesh, map/decoder
@@ -861,9 +894,120 @@ class NerfLoamSLAM:
 
         if not frame.has_gt_pose and (self.dp == 1 or self.track_method == "gn"):
             # hot path: ONE fused dispatch + ONE sync for the whole frame
-            # (dp > 1: the same body under shard_map — see _megastep_for)
-            with self.prof.section("megastep"):
-                last = st.last_frame
+            # (dp > 1: the same body under shard_map — see _megastep_for).
+            # defer_sync: dispatch this frame, then finalize the PREVIOUS
+            # frame while the device computes — the fetch latency and host
+            # bookkeeping overlap device compute entirely.
+            rec = self._mega_dispatch(frame, mapper_frame, update_decoder)
+            if self.defer_sync:
+                prev_rec, self._inflight = self._inflight, rec
+                if prev_rec is not None:
+                    self._mega_finalize(prev_rec)
+            else:
+                self._mega_finalize(rec)
+            return
+        self._drain()  # staged frames need the frame loop caught up
+        # staged path: GT poses (mapping-only), or tracked frames under
+        # dp with the Adam tracker (only the GN tracker is dp-sharded)
+        track_res = None
+        if frame.has_gt_pose:
+            pose_dev = jnp.asarray(frame.pose6)
+        else:
+            with self.prof.section("track"):
+                track_res = self.track_dispatch(frame)
+            pose_dev = track_res.pose
+        with self.prof.section("recenter"):
+            self._recenter(pose_dev[:3])
+        with self.prof.section("do_mapping"):
+            ba_res, ba_meta = self.do_mapping(
+                mapper_frame, update_pose=True,
+                update_decoder=update_decoder,
+                poses_dev=pose_dev[None], defer_pose_fetch=True,
+            )
+        if self.bias_correction and self.bias_source == "keyframe":
+            kf = st.current_keyframe
+            kf_pts, kf_cos, kf_val = kf.device_arrays()
+            bias_dev = _surface_bias_jit(
+                st.map_state, self.map_cfg, st.decoder_params,
+                st.decoder_meta, jnp.asarray(kf.pose6), kf_pts, kf_val,
+                self.rc_map.max_depth, points_cos=kf_cos,
+            )
+        else:
+            bias_dev = ba_res.surface_bias
+        with self.prof.section("create_voxels"):
+            self.create_voxels(
+                mapper_frame, pose_dev=ba_res.poses[0],
+                check_overflow=False,
+            )
+        with self.prof.section("sync"):
+            got = jax.device_get(
+                [ba_res.poses, st.map_state.num_lat,
+                 st.map_state.n_active, ba_res.touched_count,
+                 bias_dev, st.map_state.num_cand]
+                + ([track_res.pose, track_res.hit_count, track_res.loss]
+                   if track_res is not None else [])
+            )
+            if track_res is not None:
+                self.track_finalize(frame, got[6], int(got[7]))
+                mapper_frame.pose6 = np.asarray(got[6], np.float32)
+                st.frame_telemetry.append((
+                    frame.index, int(got[7]) / self.tp.n_rays,
+                    float(got[8]), self._pooled_bias(got[4]),
+                ))
+            else:
+                # maintain tracker motion state on the GT path too so
+                # remove_back direction and a later switch to tracked
+                # mode use fresh motion (reference keeps rel_pose per
+                # frame, tracking.py:142)
+                st.rel_pose = (
+                    np.linalg.inv(st.last_frame.pose_matrix())
+                    @ frame.pose_matrix()
+                )
+                frame.rel_pose = st.rel_pose
+                mapper_frame.rel_pose = st.rel_pose
+                st.last_frame = frame
+                st.tracking_trajectory.append(frame.pose_matrix())
+            for targets, pose_free in ba_meta:
+                self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
+            self.check_map_overflow(int(got[1]))
+            self.check_active_overflow(int(got[2]))
+            self.check_touched_overflow(int(got[3]))
+            self._update_sdf_bias(got[4])
+            self.check_cand_overflow(int(got[5]))
+        self._post_frame(frame, mapper_frame)
+
+    def _mega_dispatch(self, frame: Frame, mapper_frame: Frame,
+                       update_decoder: bool) -> dict:
+        """Dispatch one tracked frame's megastep asynchronously; return the
+        dispatch record (consumed by :meth:`_mega_finalize`). In defer_sync
+        mode the constant-velocity warm start is computed on device
+        (_const_vel_jit) so the previous frame's pose never has to reach the
+        host before this dispatch."""
+        st = self.state
+        with self.prof.section("megastep"):
+            last = st.last_frame
+            first = st.rel_pose is None and self._dev_last_pose6 is None
+            if self.defer_sync:
+                if first:
+                    init6 = jnp.asarray(last.pose6, jnp.float32)
+                    prev_pose6_dev = init6
+                else:
+                    dev_last = self._dev_last_pose6
+                    dev_prev = self._dev_prev_pose6
+                    if dev_last is None:
+                        # seed from host state (resume / GT->tracked switch)
+                        from nerfloam_tpu.core.frame import pose6_from_matrix_np
+
+                        dev_last = jnp.asarray(last.pose6, jnp.float32)
+                        t_prev = last.pose_matrix() @ np.linalg.inv(st.rel_pose)
+                        dev_prev = jnp.asarray(
+                            pose6_from_matrix_np(t_prev), jnp.float32
+                        )
+                    init6 = _const_vel_jit(
+                        dev_last, dev_prev, self.const_vel_full
+                    )
+                    prev_pose6_dev = dev_last
+            else:
                 last_T = last.pose_matrix()
                 const_T = last_T.copy()
                 if st.rel_pose is not None:
@@ -873,130 +1017,156 @@ class NerfLoamSLAM:
                         const_T[:3, 3] = (last_T @ st.rel_pose)[:3, 3]
                 from nerfloam_tpu.core.frame import pose6_from_matrix_np
 
-                init6 = pose6_from_matrix_np(const_T)
-                tp = self.tp_first if st.rel_pose is None else self.tp
-                lr = (
-                    self._lr_track_hi
-                    if st.frames_processed < 2
-                    else self._lr_track_lo
-                )
-                pts_d, cos_d, val_t = frame.device_arrays()
-                val_m = (
-                    mapper_frame.device_arrays()[2]
-                    if self.remove_back
-                    else val_t
-                )
-                pose_free = np.array([frame.index != st.first_frame_id])
-                mega = self._megastep_for(tp)
-                kf = st.current_keyframe
-                kf_pts, kf_cos, kf_val = kf.device_arrays()
-                prev_pts, _, prev_val = last.device_arrays()
-                (new_state, tpose, thits, ba_poses, dec_params,
-                 touched_count, surf_bias, track_loss) = mega(
-                    st.map_state, st.decoder_params, jnp.asarray(init6), lr,
-                    pts_d, cos_d, val_t, val_m,
+                init6 = jnp.asarray(pose6_from_matrix_np(const_T))
+                prev_pose6_dev = jnp.asarray(last.pose6)
+            tp = self.tp_first if first else self.tp
+            # effective frame count at dispatch time: frames_processed lags
+            # by one while a frame is in flight (lr schedule parity,
+            # render_helpers.py:448-450)
+            eff = st.frames_processed + (1 if self._inflight is not None else 0)
+            lr = self._lr_track_hi if eff < 2 else self._lr_track_lo
+            pts_d, cos_d, val_t = frame.device_arrays()
+            val_m = (
+                mapper_frame.device_arrays()[2]
+                if self.remove_back
+                else val_t
+            )
+            pose_free = np.array([frame.index != st.first_frame_id])
+            kf = st.current_keyframe
+            kf_pts, kf_cos, kf_val = kf.device_arrays()
+            prev_pts, _, prev_val = last.device_arrays()
+            rec = {
+                "frame": frame,
+                "mapper_frame": mapper_frame,
+                "prev_frame": last,
+                "tp": tp,
+                "pose_free": pose_free,
+                "pre_map_state": st.map_state,
+                "pre_decoder_params": st.decoder_params,
+                "run_args": (
+                    init6, lr, pts_d, cos_d, val_t, val_m,
                     jnp.asarray(pose_free), jnp.asarray(bool(update_decoder)),
-                    self._ba_lrs_dev, self._next_key(), self._next_key(),
+                    self._next_key(), self._next_key(),
                     jnp.asarray(
                         self.sdf_bias if self.bias_correction
                         else np.zeros(2, np.float32),
                         jnp.float32,
                     ),
                     kf_pts, kf_cos, kf_val, jnp.asarray(kf.pose6),
-                    prev_pts, prev_val, jnp.asarray(last.pose6),
-                )
-                st.map_state = new_state
-                st.decoder_params = dec_params
-                self._pending_insert = (pts_d, cos_d, val_m, ba_poses[0])
-            with self.prof.section("sync"):
-                got = jax.device_get(
-                    (tpose, thits, ba_poses, new_state.num_lat,
-                     new_state.n_active, touched_count, surf_bias,
-                     new_state.num_cand, track_loss)
-                )
-                self.track_finalize(frame, got[0], int(got[1]))
-                st.frame_telemetry.append((
-                    frame.index, int(got[1]) / self.tp.n_rays,
-                    float(got[8]), self._pooled_bias(got[6]),
-                ))
-                # mapper copy keeps its isolation; tracked base + BA refine
-                mapper_frame.pose6 = np.asarray(got[0], np.float32)
-                if pose_free[0]:
-                    mapper_frame.pose6 = np.asarray(got[2][0], np.float32)
-                self.check_map_overflow(int(got[3]))
-                self.check_active_overflow(int(got[4]))
-                self.check_touched_overflow(int(got[5]))
-                self._update_sdf_bias(got[6])
-                self.check_cand_overflow(int(got[7]))
-        else:
-            # staged path: GT poses (mapping-only), or tracked frames under
-            # dp with the Adam tracker (only the GN tracker is dp-sharded)
-            track_res = None
-            if frame.has_gt_pose:
-                pose_dev = jnp.asarray(frame.pose6)
-            else:
-                with self.prof.section("track"):
-                    track_res = self.track_dispatch(frame)
-                pose_dev = track_res.pose
-            with self.prof.section("recenter"):
-                self._recenter(pose_dev[:3])
-            with self.prof.section("do_mapping"):
-                ba_res, ba_meta = self.do_mapping(
-                    mapper_frame, update_pose=True,
-                    update_decoder=update_decoder,
-                    poses_dev=pose_dev[None], defer_pose_fetch=True,
-                )
-            if self.bias_correction and self.bias_source == "keyframe":
-                kf = st.current_keyframe
-                kf_pts, kf_cos, kf_val = kf.device_arrays()
-                bias_dev = _surface_bias_jit(
-                    st.map_state, self.map_cfg, st.decoder_params,
-                    st.decoder_meta, jnp.asarray(kf.pose6), kf_pts, kf_val,
-                    self.rc_map.max_depth, points_cos=kf_cos,
-                )
-            else:
-                bias_dev = ba_res.surface_bias
-            with self.prof.section("create_voxels"):
-                self.create_voxels(
-                    mapper_frame, pose_dev=ba_res.poses[0],
-                    check_overflow=False,
-                )
-            with self.prof.section("sync"):
-                got = jax.device_get(
-                    [ba_res.poses, st.map_state.num_lat,
-                     st.map_state.n_active, ba_res.touched_count,
-                     bias_dev, st.map_state.num_cand]
-                    + ([track_res.pose, track_res.hit_count, track_res.loss]
-                       if track_res is not None else [])
-                )
-                if track_res is not None:
-                    self.track_finalize(frame, got[6], int(got[7]))
-                    mapper_frame.pose6 = np.asarray(got[6], np.float32)
-                    st.frame_telemetry.append((
-                        frame.index, int(got[7]) / self.tp.n_rays,
-                        float(got[8]), self._pooled_bias(got[4]),
-                    ))
-                else:
-                    # maintain tracker motion state on the GT path too so
-                    # remove_back direction and a later switch to tracked
-                    # mode use fresh motion (reference keeps rel_pose per
-                    # frame, tracking.py:142)
-                    st.rel_pose = (
-                        np.linalg.inv(st.last_frame.pose_matrix())
-                        @ frame.pose_matrix()
-                    )
-                    frame.rel_pose = st.rel_pose
-                    mapper_frame.rel_pose = st.rel_pose
-                    st.last_frame = frame
-                    st.tracking_trajectory.append(frame.pose_matrix())
-                for targets, pose_free in ba_meta:
-                    self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
-                self.check_map_overflow(int(got[1]))
-                self.check_active_overflow(int(got[2]))
-                self.check_touched_overflow(int(got[3]))
-                self._update_sdf_bias(got[4])
-                self.check_cand_overflow(int(got[5]))
+                    prev_pts, prev_val, prev_pose6_dev,
+                ),
+            }
+            self._mega_run(rec)
+            # tracker chain state advances at dispatch so the next frame can
+            # dispatch without waiting for this one's fetch
+            st.last_frame = frame
+        return rec
 
+    def _mega_run(self, rec: dict):
+        """Invoke the megastep for a dispatch record (also used by the
+        overflow replay path) and stash its device output handles."""
+        st = self.state
+        (init6, lr, pts_d, cos_d, val_t, val_m, pose_free_d, upd_dec_d,
+         k_track, k_ba, sdf_bias_d, kf_pts, kf_cos, kf_val, kf_pose6,
+         prev_pts, prev_val, prev_pose6) = rec["run_args"]
+        mega = self._megastep_for(rec["tp"])
+        (new_state, tpose, thits, ba_poses, dec_params,
+         touched_count, surf_bias, track_loss) = mega(
+            st.map_state, st.decoder_params, init6, lr,
+            pts_d, cos_d, val_t, val_m, pose_free_d, upd_dec_d,
+            self._ba_lrs_dev, k_track, k_ba, sdf_bias_d,
+            kf_pts, kf_cos, kf_val, kf_pose6,
+            prev_pts, prev_val, prev_pose6,
+        )
+        st.map_state = new_state
+        st.decoder_params = dec_params
+        rec["pending_insert"] = (pts_d, cos_d, val_m, ba_poses[0])
+        self._pending_insert = rec["pending_insert"]
+        rec["outs"] = (
+            tpose, thits, ba_poses, new_state.num_lat, new_state.n_active,
+            touched_count, surf_bias, new_state.num_cand, track_loss,
+        )
+        if self.defer_sync:
+            # device pose recurrence for the next const-velocity init
+            self._dev_prev_pose6 = prev_pose6
+            self._dev_last_pose6 = tpose
+
+    def _mega_finalize(self, rec: dict):
+        """Fetch a dispatched frame's results and run all host bookkeeping
+        (tracker state, telemetry, bias EMA, overflow handling, keyframe /
+        trajectory / mesh / checkpoint logic)."""
+        st = self.state
+        frame, mapper_frame = rec["frame"], rec["mapper_frame"]
+        with self.prof.section("sync"):
+            got = jax.device_get(rec["outs"])
+        # tracker bookkeeping (track_finalize semantics; st.last_frame was
+        # already advanced at dispatch)
+        frame.pose6 = np.asarray(got[0], np.float32)
+        hits = int(got[1])
+        if hits > 0:
+            frame.hit_ratio = hits / self.tp.n_rays
+        st.tracking_trajectory.append(frame.pose_matrix())
+        st.rel_pose = (
+            np.linalg.inv(rec["prev_frame"].pose_matrix())
+            @ frame.pose_matrix()
+        )
+        frame.rel_pose = st.rel_pose
+        st.frame_telemetry.append((
+            frame.index, hits / self.tp.n_rays,
+            float(got[8]), self._pooled_bias(got[6]),
+        ))
+        # mapper copy keeps its isolation; tracked base + BA refine
+        mapper_frame.pose6 = frame.pose6
+        if rec["pose_free"][0]:
+            mapper_frame.pose6 = np.asarray(got[2][0], np.float32)
+        self._update_sdf_bias(got[6])
+        # overflow handling. With a newer frame in flight, its dispatch
+        # consumed the overflowed state: rewind to its pre-dispatch state,
+        # run the standard grow/retry machinery against THIS frame's pending
+        # insert, then replay the newer dispatch. (If a replay_freq step ran
+        # between the two dispatches, its BA refinement is dropped by the
+        # rewind — map structure is fully re-derived; growth events are a
+        # handful per sequence.)
+        num_lat, n_active = int(got[3]), int(got[4])
+        touched, num_cand = int(got[5]), int(got[7])
+        needs_fix = (
+            num_lat > self.map_cfg.capacity
+            or n_active > vm.acap(self.map_cfg)
+            or touched > self.bp_current.touched_cap
+            or num_cand > self.insert_cand_cap
+        )
+        if needs_fix:
+            newer = self._inflight if self._inflight is not rec else None
+            if newer is not None:
+                st.map_state = newer["pre_map_state"]
+                st.decoder_params = newer["pre_decoder_params"]
+            self._pending_insert = rec["pending_insert"]
+            self.check_map_overflow(num_lat)
+            self.check_active_overflow(n_active)
+            self.check_touched_overflow(touched)
+            self.check_cand_overflow(num_cand)
+            if newer is not None:
+                newer["pre_map_state"] = st.map_state
+                newer["pre_decoder_params"] = st.decoder_params
+                self._mega_run(newer)
+                self._defer_replays += 1
+        # release the pre-dispatch generation so its buffers free
+        rec["pre_map_state"] = rec["pre_decoder_params"] = None
+        self._post_frame(frame, mapper_frame)
+
+    def _drain(self):
+        """Finalize any in-flight deferred frame (defer_sync). Called before
+        host operations that need the frame loop caught up: staged-path
+        frames, checkpoints, meshes, finalize()."""
+        rec, self._inflight = self._inflight, None
+        if rec is not None:
+            self._mega_finalize(rec)
+
+    def _post_frame(self, frame: Frame, mapper_frame: Frame):
+        """Per-frame host logic after the frame's results are on host:
+        keyframe-gap insertion, periodic replay, trajectory bookkeeping,
+        periodic mesh / checkpoint / debug dumps."""
+        st = self.state
         gap = np.linalg.norm(
             mapper_frame.pose6[:3] - st.current_keyframe.pose6[:3]
         )
@@ -1014,9 +1184,11 @@ class NerfLoamSLAM:
         self._record_trajectory(mapper_frame)
 
         if self.mesh_freq > 0 and frame.index % self.mesh_freq == 0:
+            self._drain()  # mesh/poses reflect a caught-up frame loop
             self._mesh_interval(mapper_frame)
         if (self.ckpt_freq > 0 and self.logger is not None
                 and frame.index % self.ckpt_freq == 0):
+            self._drain()  # checkpoints must be self-consistent for resume
             from nerfloam_tpu.utils.checkpoint import save_checkpoint
             import os as _os
             save_checkpoint(
@@ -1150,6 +1322,7 @@ class NerfLoamSLAM:
     def finalize(self):
         """End-of-sequence: optional no-replay mesh, keyframe realignment,
         final_iter replay, final poses + mesh (mapping.py:150-169)."""
+        self._drain()
         st = self.state
         if self.logger is not None:
             v, f = self.extract_mesh()

@@ -30,6 +30,9 @@ DERIVED_MAP_FIELDS = (
 
 
 def save_checkpoint(path: str, slam) -> None:
+    # defer_sync: a checkpoint must reflect a caught-up frame loop or resume
+    # would re-process the in-flight frame
+    getattr(slam, "_drain", lambda: None)()
     os.makedirs(path, exist_ok=True)
     st = slam.state
     # Align the live state with what load will rebuild: the frame loop's
@@ -177,3 +180,9 @@ def load_checkpoint(path: str, slam) -> None:
     # scalar (pre-r4 checkpoints) broadcasts into the (2,) per-class target
     slam.sdf_bias = np.full(2, sb.mean() if sb.size else 0.0, np.float32) \
         if sb.size != 2 else sb.astype(np.float32)
+    # defer_sync pipeline state: nothing is in flight at a (drained) save;
+    # the device pose recurrence reseeds from last_pose6/rel_pose on the
+    # next dispatch (pipeline._mega_dispatch)
+    slam._inflight = None
+    slam._dev_last_pose6 = None
+    slam._dev_prev_pose6 = None

@@ -132,6 +132,15 @@ DEFAULTS = {
         #                                  targets from the settled keyframe
         #                                  probe (requires
         #                                  bias_source=keyframe)
+        "defer_sync": False,             # pipeline the per-frame host sync:
+        #                                  dispatch frame N, then fetch frame
+        #                                  N-1's results while N computes.
+        #                                  Hides the host link latency
+        #                                  (~27 ms/frame on the tunnel) at
+        #                                  the cost of one frame of host
+        #                                  bookkeeping lag (keyframe
+        #                                  insertion, bias EMA, remove_back
+        #                                  direction) — pipeline._mega_dispatch
         "finalize_realign": False,       # re-register keyframes against the
         #                                  final field before the final
         #                                  replay/mesh (drift spreading)

@@ -1,25 +1,16 @@
 #!/bin/bash
 # Round-4 chip queue, phase 2 — knob disentangling + round-4 levers.
-#
-# Reordered continuation of scripts/r4_chip_queue.sh (phase 1): the 3-seed
-# drift A/B showed bias_source=keyframe kills dz on every seed while the
-# combined variant worsens lateral (finalize_realign suspect: 30 cm
-# single-frame steps). Before spending ~2h on scale2000, disentangle the
-# knobs and A/B the two new levers (s2s odometry term, per-class bias).
-#
-# Launch from a FRESH snapshot (cp -r /root/repo /tmp/r4_snap2) that
-# includes the bias_classes=2 commit. Same stage protocol as phase 1:
-# skip-if-done, one TPU job at a time.
+# Runs from /tmp/r4_snap2 (post bias_classes commit). One TPU job at a time;
+# serialize behind the kf queue via WAIT_PID.
 set -u
 mkdir -p /tmp/r4_chip
 cd "$(dirname "$0")/.."
 
-# serialize behind a still-running phase-1 job (pass WAIT_PID=<pid>)
 while [ -n "${WAIT_PID:-}" ] && kill -0 "$WAIT_PID" 2>/dev/null; do
   sleep 30
 done
 
-have() { [ -f "/tmp/r4_chip/$1.log" ] && grep -q '{"' "/tmp/r4_chip/$1.log"; }
+have() { [ -f "/tmp/r4_chip/$1.log" ] && grep -q '{' "/tmp/r4_chip/$1.log"; }
 
 run() { # run <stage> <timeout_s> <cmd...>
   local stage=$1 tmo=$2; shift 2
@@ -39,18 +30,37 @@ ev() { # ev <stage> <timeout> <seed> <extra overrides...>
     --dump-traj "/tmp/r4_chip/traj_${stage}.npz"
 }
 
-# knob disentangle: keyframe bias WITHOUT finalize_realign (2 seeds)
-ev kf_s777  3600 777  tpu_specs.bias_source=keyframe
-ev kf_s1234 3600 1234 tpu_specs.bias_source=keyframe
-
 # round-4 lever A/Bs (vs base_s777 and kf_s777)
 ev class2_s777 3600 777 tpu_specs.bias_source=keyframe tpu_specs.bias_classes=2
 ev s2s_s777    3600 777 tpu_specs.s2s_weight=10.0
 
-# throughput lever (phase-1 stage, deferred)
+# throughput lever
 ev bf16_s777 3600 777 tpu_specs.compute_dtype=bfloat16
 
-# long-horizon tracked run (phase-1 stage, deferred to last: ~1.5-2h)
+# BA-step cost decomposition (guides the Pallas fusion work)
+if ! grep -q "per-iteration" /tmp/r4_chip/profile_ba.log 2>/dev/null; then
+  echo "=== profile_ba: start $(date -u +%H:%M:%S) ==="
+  timeout 2400 python -u scripts/profile_ba.py > /tmp/r4_chip/profile_ba.log 2>&1
+  echo "=== profile_ba: rc=$? end $(date -u +%H:%M:%S) ==="
+fi
+
+# defer_sync bench A/B (round-4 pipelining lever) — runs from /tmp/r4_snap3
+# (snapshot taken at the defer_sync commit) so the pair is self-consistent
+if [ -d /tmp/r4_snap3 ]; then
+  for v in off on; do
+    stage=bench_defer_$v
+    if ! grep -q '"metric"' "/tmp/r4_chip/$stage.log" 2>/dev/null; then
+      echo "=== $stage: start $(date -u +%H:%M:%S) ==="
+      extra=""
+      [ "$v" = on ] && extra="tpu_specs.defer_sync=true"
+      (cd /tmp/r4_snap3 && NERFLOAM_BENCH_SET="$extra" timeout 1800 \
+        python -u bench.py) > "/tmp/r4_chip/$stage.log" 2>&1
+      echo "=== $stage: rc=$? end $(date -u +%H:%M:%S) ==="
+    fi
+  done
+fi
+
+# long-horizon tracked run (~1.5-2h)
 run scale2000_tracked 14400 python -u scripts/scale_probe.py \
   --config configs/synthetic/kitti_replica.yaml --budget ci \
   --frames 2000 --track --report-every 100 \
