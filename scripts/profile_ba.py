@@ -106,6 +106,13 @@ def main():
     print(f"  -> per-iteration {slope*1e3:7.2f} ms, fixed {fixed*1e3:7.2f} ms",
           flush=True)
 
+    # actual touched voxels per step vs the static touched_cap (the
+    # reconcile/scatter work is O(touched_cap) regardless of the real count
+    # — right-sizing the cap is a direct fixed-cost lever)
+    r = ba_mod.ba_step(args[0], args[1], args[2], slam.bp_current, *args[3:])
+    print(f"touched_count: {int(r.touched_count)} "
+          f"(cap {slam.bp_current.touched_cap})", flush=True)
+
     # --- probe off: what does measure_bias cost? ---------------------------
     bp_nb = slam.bp_current._replace(measure_bias=False)
     timeit(
