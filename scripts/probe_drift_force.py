@@ -1,0 +1,204 @@
+"""Feedback-free tracker-pull probe: the per-frame drift PREDICTOR.
+
+The 500-frame evals show an along-track drift rate (~ +0.55 cm/frame) that
+is invariant to every bias knob (EVAL_r04.md). Closed-loop A/Bs cost ~1000 s
+of chip time per data point; this probe measures the same quantity open
+loop in seconds per variant:
+
+  1. Build the map in mapping-only mode (GT poses) for N frames — no
+     tracking feedback, so the field is exactly what a perfect tracker
+     would have produced.
+  2. For settled frames (well inside the mapped region), run the SHIPPED
+     GN tracker initialized AT the GT pose against the final field. Any
+     displacement of the converged pose from GT is the tracker's
+     systematic pull — the quantity that integrates into drift.
+  3. Decompose the pull into along-track / lateral / z (GT travel frame)
+     per bias variant: off, per-class settled bias (ba.surface_bias_at),
+     per-class + affine-in-depth (scale hypothesis).
+  4. Regress the settled field's residual sdf at GT surface points against
+     measured depth, per class: a nonzero slope = the settled bias is
+     range-dependent (a range-scale error), which a constant bias target
+     cannot cancel — the working hypothesis for the along-track invariant.
+
+Usage:
+    JAX_PLATFORMS=cpu python scripts/probe_drift_force.py \
+        [--config configs/synthetic/kitti_replica_ci.yaml] [--frames 60] \
+        [--set k=v ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from nerfloam_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/synthetic/kitti_replica_ci.yaml")
+    p.add_argument("--set", action="append", default=[])
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--probe-every", type=int, default=5,
+                   help="probe frame stride inside the settled region")
+    p.add_argument("--settle-margin", type=int, default=12,
+                   help="skip the last M frames (frontier, still training)")
+    p.add_argument("--json-out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfloam_tpu.core.ba import surface_bias_at
+    from nerfloam_tpu.core.frame import Frame
+    from nerfloam_tpu.core.pipeline import NerfLoamSLAM
+    from nerfloam_tpu.core.render import field_at
+    from nerfloam_tpu.data import get_dataset
+    from nerfloam_tpu.map import voxel_map as vm
+    from nerfloam_tpu.ops import se3
+    from nerfloam_tpu.utils.config import load_config
+
+    overrides = [
+        f"data_specs.n_frames={args.frames}",
+        "data_specs.use_gt=True",
+        "tpu_specs.track_method=gn",  # probe the shipped tracker
+    ] + (args.set or [])
+    cfg = load_config(args.config, overrides)
+    ds = get_dataset(cfg)
+    slam = NerfLoamSLAM(cfg, ds)
+    slam.run()
+
+    st = slam.state
+    mc = slam.map_cfg
+    probe_ids = list(range(10, args.frames - args.settle_margin,
+                           args.probe_every))
+
+    # ---- 4. settled residual-sdf regression vs depth, per class ----------
+    reg = {"ground": [[], []], "nonground": [[], []]}
+    for i in probe_ids:
+        _, pts, cos, pose = ds[i]
+        pts = np.asarray(pts, np.float32)
+        cos = np.asarray(cos, np.float32)
+        T = np.asarray(pose)
+        w = (pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        depth = np.linalg.norm(pts, axis=-1)
+        p3 = jnp.asarray(w)
+        cells = jnp.floor(p3 / mc.voxel_size).astype(jnp.int32)
+        aid = vm.lookup_active(st.map_state, mc, cells)
+        sdf = np.asarray(
+            field_at(st.map_state, mc, st.decoder_params, st.decoder_meta,
+                     p3, aid, jnp.float32)
+        )
+        ok = (np.asarray(aid) >= 0) & (depth > 0.5) & (depth < slam.rc_map.max_depth)
+        g = cos < 0.999
+        for name, m in (("ground", ok & g), ("nonground", ok & ~g)):
+            reg[name][0].append(depth[m])
+            reg[name][1].append(sdf[m])
+
+    trunc = float(cfg.criteria["sdf_truncation"])
+    reg_out = {}
+    for name, (ds_, ss_) in reg.items():
+        d = np.concatenate(ds_) if ds_ else np.zeros(0)
+        s = np.concatenate(ss_) if ss_ else np.zeros(0)
+        if len(d) < 100:
+            reg_out[name] = None
+            continue
+        A = np.stack([np.ones_like(d), d], axis=-1)
+        coef, *_ = np.linalg.lstsq(A, s, rcond=None)
+        reg_out[name] = {
+            "n": int(len(d)),
+            "mean_sdf": round(float(s.mean()), 5),
+            "intercept": round(float(coef[0]), 5),
+            "slope_per_m": round(float(coef[1]), 6),
+            # slope in meters of surface displacement per meter of range
+            # (sdf is in truncation units): the effective range-scale error
+            "scale_err_pct": round(float(coef[1]) * trunc * 100, 4),
+        }
+
+    # ---- 2+3. tracker pull at GT pose, per bias variant -------------------
+    def travel_frame(i):
+        Tm = np.asarray(ds[i - 1][3])
+        Tp = np.asarray(ds[i + 1][3])
+        fwd = Tp[:3, 3] - Tm[:3, 3]
+        n = np.linalg.norm(fwd)
+        fwd = fwd / (n + 1e-12)
+        up = np.array([0.0, 0.0, 1.0])
+        lat = np.cross(up, fwd)
+        lat /= np.linalg.norm(lat) + 1e-12
+        return fwd, lat
+
+    def settled_bias2(frame, pose6):
+        pts_d, cos_d, val_d = frame.device_arrays()
+        out = np.asarray(surface_bias_at(
+            st.map_state, mc, st.decoder_params, st.decoder_meta,
+            jnp.asarray(pose6), pts_d, val_d, slam.rc_map.max_depth,
+            points_cos=cos_d,
+        ))
+        b, c = out[0], out[1]
+        return np.where(c > 0, b, 0.0).astype(np.float32)
+
+    variants = {}
+    for i in probe_ids:
+        _, pts, cos, pose = ds[i]
+        frame = Frame.from_raw(i, np.asarray(pts, np.float32),
+                               np.asarray(cos, np.float32),
+                               np.asarray(pose), slam.points_pad,
+                               has_gt_pose=True)
+        gt6 = frame.pose6.copy()
+        gt_T = frame.pose_matrix()
+        fwd, lat = travel_frame(i)
+        b2 = settled_bias2(frame, gt6)
+        pts_d, cos_d, val_d = frame.device_arrays()
+        for vname, bias in (
+            ("bias_off", np.zeros(2, np.float32)),
+            ("bias_class2", b2),
+        ):
+            res = slam._track_fn(
+                st.map_state, mc, slam.rc_track, slam.tp,
+                st.decoder_params, st.decoder_meta,
+                jnp.asarray(gt6), pts_d, cos_d, val_d,
+                slam._lr_track_lo, jax.random.PRNGKey(1234 + i),
+                jnp.asarray(bias, jnp.float32),
+            )
+            est6 = np.asarray(res.pose)
+            est_T = np.asarray(se3.pose_matrix(jnp.asarray(est6)))
+            dt = est_T[:3, 3] - gt_T[:3, 3]
+            dR = est_T[:3, :3] @ gt_T[:3, :3].T
+            ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            variants.setdefault(vname, []).append(
+                (float(dt @ fwd), float(dt @ lat), float(dt[2]), float(ang))
+            )
+
+    pull_out = {}
+    for vname, rows in variants.items():
+        a = np.asarray(rows)
+        pull_out[vname] = {
+            "n_frames": int(len(a)),
+            "along_cm_mean": round(float(a[:, 0].mean()) * 100, 3),
+            "lat_cm_mean": round(float(a[:, 1].mean()) * 100, 3),
+            "dz_cm_mean": round(float(a[:, 2].mean()) * 100, 3),
+            "rot_deg_mean": round(float(a[:, 3].mean()), 4),
+            "along_cm_std": round(float(a[:, 0].std()) * 100, 3),
+        }
+
+    out = {
+        "config": args.config,
+        "frames": args.frames,
+        "probe_ids": probe_ids,
+        "residual_regression": reg_out,
+        "tracker_pull": pull_out,
+    }
+    print(json.dumps(out, indent=1))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
