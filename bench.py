@@ -76,8 +76,17 @@ BENCH_OVERRIDES = [
     "tpu_specs.region_z_half=12.0",
     "tpu_specs.compute_dtype=bfloat16",
     "tpu_specs.emb_dtype=bfloat16",
-    "tpu_specs.active_cap=131072",
-    "tpu_specs.touched_cap=65536",
+    # right-sized active budget (r4): measured n_active is 13.4k at frame
+    # 150 (EVAL_r04 profile_ba), bounded by the recentered region, and the
+    # per-frame refresh/pack + BA fixed costs are O(active_cap); 32768
+    # keeps 2.4x headroom (detect-grow-retry covers the rest)
+    "tpu_specs.active_cap=32768",
+    # right-sized reconcile budget (r4): measured touched_count is ~1.4k on
+    # the current-frame step at this budget (EVAL_r04 profile_ba2); 8192
+    # leaves replay-step headroom while keeping the O(touched_cap) scatter
+    # 8x smaller than the old acap/2 sizing. Pinned (not the auto default)
+    # so a mid-bench growth re-jit can never pollute the timing.
+    "tpu_specs.touched_cap=8192",
     # the shipped KITTI-class sampler (configs/kitti/kitti.yaml): per-step
     # hit tables; measured 2.06 -> 3.21 scans/s at this budget (r3)
     "tpu_specs.sampler=hits",
@@ -103,6 +112,11 @@ QUALITY_OVERRIDES = [
     "tpu_specs.support_sym=true",
     "tpu_specs.band_samples=8",
     "tpu_specs.bias_correction=true",
+    # support voxels ~triple the active set and band sampling touches more
+    # voxels per step — scale both right-sized budgets back up so the
+    # quality row never times a mid-bench growth re-jit
+    "tpu_specs.active_cap=65536",
+    "tpu_specs.touched_cap=16384",
 ]
 
 

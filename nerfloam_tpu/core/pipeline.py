@@ -244,8 +244,12 @@ class NerfLoamSLAM:
         self._lr_track_lo = jnp.asarray(self.track_lr / 3, jnp.float32)
 
         tc = int(tpu.get("touched_cap", 0))
-        if tc <= 0:  # 0 -> active_cap: reconciliation can never drop deltas
-            tc = vm.acap(self.map_cfg)
+        if tc <= 0:  # 0 -> auto: start small, detect-grow on overflow
+            # (check_touched_overflow). Measured touched counts sit ~45x
+            # below active_cap (EVAL_r04 profile_ba2: 1436 vs 65536 at the
+            # bench budget); the reconcile scatter is O(touched_cap), so
+            # sizing to active_cap wastes ~55 ms per BA step on padding.
+            tc = min(vm.acap(self.map_cfg), 4096)
         base_bp = dict(
             truncation=float(crit["sdf_truncation"]),
             max_depth=shapes["max_depth"],
@@ -509,11 +513,13 @@ class NerfLoamSLAM:
         )
         self.map_cfg = self.map_cfg._replace(active_cap=new_acap)
         self.state.map_cfg = self.map_cfg
-        # touched_cap tracks active_cap so reconciliation stays lossless;
-        # active_cap may grow by more than 2x in one event, so pin to the
-        # new cap (the 0-means-acap lossless default) instead of doubling
-        self.bp_current = self.bp_current._replace(touched_cap=new_acap)
-        self.bp_random = self.bp_random._replace(touched_cap=new_acap)
+        # touched_cap only ever needs to cover what one BA step samples —
+        # growing the active set does not increase that, so keep the
+        # right-sized cap (clamped to the new acap); touched overflow has
+        # its own detect-grow path (check_touched_overflow)
+        tc = min(self.bp_current.touched_cap, new_acap)
+        self.bp_current = self.bp_current._replace(touched_cap=tc)
+        self.bp_random = self.bp_random._replace(touched_cap=tc)
         self._mega_cache.clear()  # bp_current is baked into the megastep
         self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
 

@@ -76,6 +76,21 @@ def save_checkpoint(path: str, slam) -> None:
         if st.frame_telemetry else np.zeros((0, 4)),
         last_pose6=st.last_frame.pose6 if st.last_frame else np.zeros(6),
         rel_pose=st.rel_pose if st.rel_pose is not None else np.eye(4),
+        # defer_sync device pose recurrence (raw f32 tracked poses of the
+        # last two dispatched frames). The host-side reseed fallback
+        # (pipeline._mega_dispatch) reconstructs dev_prev through an f64
+        # matrix round-trip, which is NOT bit-identical to the device
+        # chain — persisting the exact values keeps resume bit-stable.
+        dev_last_pose6=(
+            np.asarray(slam._dev_last_pose6, np.float32)
+            if getattr(slam, "_dev_last_pose6", None) is not None
+            else np.full(6, np.nan, np.float32)
+        ),
+        dev_prev_pose6=(
+            np.asarray(slam._dev_prev_pose6, np.float32)
+            if getattr(slam, "_dev_prev_pose6", None) is not None
+            else np.full(6, np.nan, np.float32)
+        ),
         # RNG state: resume is bit-reproducible against an uninterrupted run
         jax_key=np.asarray(jax.random.key_data(slam.key)),
         py_rng=np.asarray(slam.pyrng.getstate()[1], np.uint32),
@@ -97,6 +112,12 @@ def save_checkpoint(path: str, slam) -> None:
         "sdf_bias": np.asarray(
             getattr(slam, "sdf_bias", 0.0), np.float64
         ).reshape(-1).tolist(),  # (2,) [ground, non-ground] since r4
+        # grown-on-overflow budgets (r4): the auto touched_cap starts small
+        # and doubles on overflow, DROPPING the overflowed step's over-cap
+        # deltas — a resume that restarted at the small default could relive
+        # a drop the uninterrupted run never had, breaking bit-stable resume
+        "touched_cap": int(slam.bp_current.touched_cap),
+        "insert_cand_cap": int(slam.insert_cand_cap),
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -180,9 +201,28 @@ def load_checkpoint(path: str, slam) -> None:
     # scalar (pre-r4 checkpoints) broadcasts into the (2,) per-class target
     slam.sdf_bias = np.full(2, sb.mean() if sb.size else 0.0, np.float32) \
         if sb.size != 2 else sb.astype(np.float32)
-    # defer_sync pipeline state: nothing is in flight at a (drained) save;
-    # the device pose recurrence reseeds from last_pose6/rel_pose on the
-    # next dispatch (pipeline._mega_dispatch)
+    # restore grown-on-overflow budgets (bit-stable resume: a rerun of the
+    # growth's delta-drop must not happen again after resume). Pre-r4
+    # checkpoints lack the keys -> keep the config-derived values.
+    tc = int(manifest.get("touched_cap", 0))
+    if tc > 0:
+        tc = min(tc, vm.acap(slam.map_cfg))
+        slam.bp_current = slam.bp_current._replace(touched_cap=tc)
+        slam.bp_random = slam.bp_random._replace(touched_cap=tc)
+    cc = int(manifest.get("insert_cand_cap", 0))
+    if cc > 0:
+        slam.insert_cand_cap = cc
+    slam._mega_cache.clear()  # bp/cand_cap are baked into the megastep
+    # defer_sync pipeline state: nothing is in flight at a (drained) save.
+    # Restore the exact device pose recurrence when the checkpoint has it
+    # (bit-stable resume); otherwise fall back to the host reseed in
+    # pipeline._mega_dispatch (pre-r4 checkpoints).
     slam._inflight = None
     slam._dev_last_pose6 = None
     slam._dev_prev_pose6 = None
+    if "dev_last_pose6" in data:
+        dl = np.asarray(data["dev_last_pose6"], np.float32)
+        dp = np.asarray(data["dev_prev_pose6"], np.float32)
+        if np.isfinite(dl).all() and np.isfinite(dp).all():
+            slam._dev_last_pose6 = jnp.asarray(dl)
+            slam._dev_prev_pose6 = jnp.asarray(dp)

@@ -106,7 +106,18 @@ DEFAULTS = {
         "active_cap": 1 << 18,       # per-frame active surface-voxel budget
         #                              (grows automatically on overflow)
         "touched_cap": 0,            # BA delta-reconciliation budget;
-        #                              0 -> active_cap (lossless)
+        #                              0 -> auto: start at min(active_cap,
+        #                              4096) and double on overflow (one
+        #                              warn + re-jit per growth; the
+        #                              overflowed step's over-cap deltas
+        #                              are dropped). The reconcile scatter
+        #                              is O(touched_cap), and measured
+        #                              touched counts are ~45x below
+        #                              active_cap (profile_ba2, EVAL_r04) —
+        #                              sizing to active_cap costs ~55 ms of
+        #                              pure padding per BA step. Set
+        #                              explicitly (or to active_cap) to pin
+        #                              shapes / guarantee losslessness.
         "reconcile_mode": "mean",    # shared-corner delta combining
         #                              ("mean" | "sum"), voxel_map.reconcile_packed
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads
@@ -132,15 +143,20 @@ DEFAULTS = {
         #                                  targets from the settled keyframe
         #                                  probe (requires
         #                                  bias_source=keyframe)
-        "defer_sync": False,             # pipeline the per-frame host sync:
+        "defer_sync": True,              # pipeline the per-frame host sync:
         #                                  dispatch frame N, then fetch frame
         #                                  N-1's results while N computes.
-        #                                  Hides the host link latency
-        #                                  (~27 ms/frame on the tunnel) at
-        #                                  the cost of one frame of host
-        #                                  bookkeeping lag (keyframe
-        #                                  insertion, bias EMA, remove_back
-        #                                  direction) — pipeline._mega_dispatch
+        #                                  Hides the whole per-frame host
+        #                                  side (~61 ms/frame on the tunnel:
+        #                                  fetch + numpy bookkeeping) at the
+        #                                  cost of one frame of host lag
+        #                                  (keyframe insertion, bias EMA,
+        #                                  remove_back) — _mega_dispatch.
+        #                                  Default ON since r4: +29% scans/s,
+        #                                  quality-neutral at 500 frames
+        #                                  (EVAL_r04 defer500_s777); set
+        #                                  false for the reference-faithful
+        #                                  schedule.
         "finalize_realign": False,       # re-register keyframes against the
         #                                  final field before the final
         #                                  replay/mesh (drift spreading)

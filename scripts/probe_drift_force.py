@@ -20,8 +20,21 @@ loop in seconds per variant:
      range-dependent (a range-scale error), which a constant bias target
      cannot cancel — the working hypothesis for the along-track invariant.
 
+Result (EVAL_r04): the SETTLED field predicts along -1.0 +/- 1.0 cm
+(wrong sign, noise-dominated) and scale_err -0.11% — the settled field
+does NOT explain the +0.55 cm/f closed-loop drift. Hence:
+
+  --mode frontier: probe the pull in the REAL operating regime. Process
+  frames with GT poses one at a time; every probe_every frames, run the
+  shipped tracker on frame i+1 (GT-initialized) against the map AS OF
+  frame i — exactly what the closed-loop tracker faces (fresh, possibly
+  under-converged voxels ahead; settled map behind), minus accumulated
+  drift. If the frontier pull is along-POSITIVE ~0.5 cm/f, the
+  under-converged-frontier hypothesis is confirmed.
+
 Usage:
     JAX_PLATFORMS=cpu python scripts/probe_drift_force.py \
+        [--mode settled|frontier] \
         [--config configs/synthetic/kitti_replica_ci.yaml] [--frames 60] \
         [--set k=v ...]
 """
@@ -42,13 +55,17 @@ honor_jax_platforms_env()
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=("settled", "frontier"), default="settled")
     p.add_argument("--config", default="configs/synthetic/kitti_replica_ci.yaml")
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--probe-every", type=int, default=5,
                    help="probe frame stride inside the settled region")
     p.add_argument("--settle-margin", type=int, default=12,
-                   help="skip the last M frames (frontier, still training)")
+                   help="settled mode: skip the last M frames (frontier, "
+                        "still training)")
+    p.add_argument("--warmup", type=int, default=10,
+                   help="frontier mode: first probed frame")
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
@@ -72,6 +89,100 @@ def main():
     cfg = load_config(args.config, overrides)
     ds = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, ds)
+
+    def travel_frame(i):
+        Tm = np.asarray(ds[i - 1][3])
+        Tp = np.asarray(ds[i + 1][3])
+        fwd = Tp[:3, 3] - Tm[:3, 3]
+        n = np.linalg.norm(fwd)
+        fwd = fwd / (n + 1e-12)
+        up = np.array([0.0, 0.0, 1.0])
+        lat = np.cross(up, fwd)
+        lat /= np.linalg.norm(lat) + 1e-12
+        return fwd, lat
+
+    def track_pull(j, bias):
+        """Run the shipped tracker on frame j, initialized AT its GT pose,
+        against the CURRENT map; return the converged displacement in the
+        GT travel frame (along, lat, dz in m; rot in deg)."""
+        st = slam.state
+        mc = slam.map_cfg
+        _, pts, cos, pose = ds[j]
+        frame = Frame.from_raw(j, np.asarray(pts, np.float32),
+                               np.asarray(cos, np.float32),
+                               np.asarray(pose), slam.points_pad,
+                               has_gt_pose=True)
+        gt_T = frame.pose_matrix()
+        fwd, lat = travel_frame(j)
+        pts_d, cos_d, val_d = frame.device_arrays()
+        res = slam._track_fn(
+            st.map_state, mc, slam.rc_track, slam.tp,
+            st.decoder_params, st.decoder_meta,
+            jnp.asarray(frame.pose6), pts_d, cos_d, val_d,
+            slam._lr_track_lo, jax.random.PRNGKey(1234 + j),
+            jnp.asarray(bias, jnp.float32),
+        )
+        est_T = np.asarray(se3.pose_matrix(jnp.asarray(np.asarray(res.pose))))
+        dt = est_T[:3, 3] - gt_T[:3, 3]
+        dR = est_T[:3, :3] @ gt_T[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        return (float(dt @ fwd), float(dt @ lat), float(dt[2]), float(ang))
+
+    def summarize(variants):
+        out = {}
+        for vname, rows in variants.items():
+            a = np.asarray([r[1:] for r in rows])  # drop frame id
+            out[vname] = {
+                "n_frames": int(len(a)),
+                "along_cm_mean": round(float(a[:, 0].mean()) * 100, 3),
+                "lat_cm_mean": round(float(a[:, 1].mean()) * 100, 3),
+                "dz_cm_mean": round(float(a[:, 2].mean()) * 100, 3),
+                "rot_deg_mean": round(float(a[:, 3].mean()), 4),
+                "along_cm_std": round(float(a[:, 0].std()) * 100, 3),
+            }
+        return out
+
+    if args.mode == "frontier":
+        # ---- frontier pull: probe frame i+1 against the map as of frame i
+        # while the map is being built with GT poses — the closed-loop
+        # tracker's exact operating regime minus accumulated drift.
+        idx, pts, cos, pose = ds[0]
+        first = Frame.from_raw(idx, pts, cos, ds.get_init_pose(0),
+                               slam.points_pad, has_gt_pose=pose is not None)
+        slam.process_first_frame(first)
+        variants = {}
+        for i in range(1, args.frames - 2):
+            idx, pts, cos, pose = ds[i]
+            f = Frame.from_raw(idx, pts, cos, pose, slam.points_pad,
+                               has_gt_pose=True)
+            slam.process_frame(f)
+            j = i + 1
+            if i >= args.warmup and (i - args.warmup) % args.probe_every == 0:
+                for vname, bias in (
+                    ("bias_off", np.zeros(2, np.float32)),
+                    # the live shipped window-EMA bias at this point in the run
+                    ("bias_live", np.asarray(slam.sdf_bias, np.float32)),
+                ):
+                    variants.setdefault(vname, []).append(
+                        (j,) + track_pull(j, bias)
+                    )
+        out = {
+            "config": args.config,
+            "mode": "frontier",
+            "frames": args.frames,
+            "per_frame": {
+                v: [[r[0]] + [round(x * 100, 3) for x in r[1:4]]
+                    for r in rows]  # [frame, along_cm, lat_cm, dz_cm]
+                for v, rows in variants.items()
+            },
+            "tracker_pull": summarize(variants),
+        }
+        print(json.dumps(out, indent=1))
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(out, fh)
+        return
+
     slam.run()
 
     st = slam.state
@@ -122,17 +233,6 @@ def main():
         }
 
     # ---- 2+3. tracker pull at GT pose, per bias variant -------------------
-    def travel_frame(i):
-        Tm = np.asarray(ds[i - 1][3])
-        Tp = np.asarray(ds[i + 1][3])
-        fwd = Tp[:3, 3] - Tm[:3, 3]
-        n = np.linalg.norm(fwd)
-        fwd = fwd / (n + 1e-12)
-        up = np.array([0.0, 0.0, 1.0])
-        lat = np.cross(up, fwd)
-        lat /= np.linalg.norm(lat) + 1e-12
-        return fwd, lat
-
     def settled_bias2(frame, pose6):
         pts_d, cos_d, val_d = frame.device_arrays()
         out = np.asarray(surface_bias_at(
@@ -150,49 +250,20 @@ def main():
                                np.asarray(cos, np.float32),
                                np.asarray(pose), slam.points_pad,
                                has_gt_pose=True)
-        gt6 = frame.pose6.copy()
-        gt_T = frame.pose_matrix()
-        fwd, lat = travel_frame(i)
-        b2 = settled_bias2(frame, gt6)
-        pts_d, cos_d, val_d = frame.device_arrays()
+        b2 = settled_bias2(frame, frame.pose6.copy())
         for vname, bias in (
             ("bias_off", np.zeros(2, np.float32)),
             ("bias_class2", b2),
         ):
-            res = slam._track_fn(
-                st.map_state, mc, slam.rc_track, slam.tp,
-                st.decoder_params, st.decoder_meta,
-                jnp.asarray(gt6), pts_d, cos_d, val_d,
-                slam._lr_track_lo, jax.random.PRNGKey(1234 + i),
-                jnp.asarray(bias, jnp.float32),
-            )
-            est6 = np.asarray(res.pose)
-            est_T = np.asarray(se3.pose_matrix(jnp.asarray(est6)))
-            dt = est_T[:3, 3] - gt_T[:3, 3]
-            dR = est_T[:3, :3] @ gt_T[:3, :3].T
-            ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-            variants.setdefault(vname, []).append(
-                (float(dt @ fwd), float(dt @ lat), float(dt[2]), float(ang))
-            )
-
-    pull_out = {}
-    for vname, rows in variants.items():
-        a = np.asarray(rows)
-        pull_out[vname] = {
-            "n_frames": int(len(a)),
-            "along_cm_mean": round(float(a[:, 0].mean()) * 100, 3),
-            "lat_cm_mean": round(float(a[:, 1].mean()) * 100, 3),
-            "dz_cm_mean": round(float(a[:, 2].mean()) * 100, 3),
-            "rot_deg_mean": round(float(a[:, 3].mean()), 4),
-            "along_cm_std": round(float(a[:, 0].std()) * 100, 3),
-        }
+            variants.setdefault(vname, []).append((i,) + track_pull(i, bias))
 
     out = {
         "config": args.config,
+        "mode": "settled",
         "frames": args.frames,
         "probe_ids": probe_ids,
         "residual_regression": reg_out,
-        "tracker_pull": pull_out,
+        "tracker_pull": summarize(variants),
     }
     print(json.dumps(out, indent=1))
     if args.json_out:

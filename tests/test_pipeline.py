@@ -176,8 +176,48 @@ def test_active_cap_growth_no_render_loss():
     slam.process_first_frame(first)
     for f in _frames_for(slam, dataset, range(1, 6)):
         slam.process_frame(f)
+    slam._drain()  # defer_sync: the last frame's overflow handling runs at
+    #                fetch; every public exit (run/finalize/ckpt) drains
 
     assert slam.map_cfg.active_cap > 256  # growth happened
     # every in-region surface voxel is renderable again
     assert int(slam.state.map_state.n_active) <= vm.acap(slam.map_cfg)
     assert not vm.active_overflowed(slam.state.map_state, slam.map_cfg)
+
+
+def test_touched_cap_auto_grows_and_persists(tmp_path):
+    """The r4 auto touched_cap starts small and must (a) grow on overflow
+    instead of silently dropping reconcile deltas forever, and (b) persist
+    the grown value through checkpoint/resume so a resumed run never
+    re-lives the growth step's delta drop."""
+    from nerfloam_tpu.core.frame import pose6_from_matrix_np
+    from nerfloam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = load_config(CFG_PATH, [
+        "data_specs.n_frames=6",
+        "tpu_specs.bootstrap_steps=2",
+        "tracker_specs.num_iterations=4",
+        "mapper_specs.num_iterations=4",
+        "tpu_specs.touched_cap=64",  # far below one BA step's touched count
+    ])
+    dataset = get_dataset(cfg)
+    slam = NerfLoamSLAM(cfg, dataset)
+    first = _frames_for(slam, dataset, [0])[0]
+    first.pose6 = pose6_from_matrix_np(dataset.get_init_pose(0))
+    slam.process_first_frame(first)
+    for f in _frames_for(slam, dataset, range(1, 6)):
+        slam.process_frame(f)
+    slam._drain()  # catch the in-flight frame's overflow handling
+
+    grown = slam.bp_current.touched_cap
+    assert grown > 64  # overflow was detected and the budget grew
+    assert slam.bp_random.touched_cap == grown
+
+    ckpt = str(tmp_path / "ckpt_tc")
+    save_checkpoint(ckpt, slam)
+    slam2 = NerfLoamSLAM(cfg, dataset)
+    assert slam2.bp_current.touched_cap == 64  # fresh init = config value
+    load_checkpoint(ckpt, slam2)
+    assert slam2.bp_current.touched_cap == grown
+    assert slam2.bp_random.touched_cap == grown
+    assert slam2.insert_cand_cap == slam.insert_cand_cap
