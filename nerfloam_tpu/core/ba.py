@@ -92,7 +92,9 @@ class BAResult(NamedTuple):
     poses: jnp.ndarray       # (W, 6)
     loss: jnp.ndarray
     touched_count: jnp.ndarray  # () int32 — voxels touched this BA step;
-    #   > touched_cap means reconciliation dropped deltas (host warns/grows)
+    #   > touched_cap means this result's reconcile was truncated: the host
+    #   discards it and REPLAYS the step at a grown cap (losslessly) —
+    #   pipeline._retry_ba_touched / _mega_finalize
     surface_bias: jnp.ndarray  # () mean field value at the active frames'
     #   measured surface points under the refined poses, on the FINAL
     #   field. The field's fit leaves a systematic offset at surfaces

@@ -243,20 +243,30 @@ class NerfLoamSLAM:
         self._lr_track_hi = jnp.asarray(self.track_lr * 2, jnp.float32)
         self._lr_track_lo = jnp.asarray(self.track_lr / 3, jnp.float32)
 
+        # touched_cap: the BA delta-reconcile compaction budget, O(cap)
+        # scatter cost per step. The current-frame step (hot, every frame)
+        # and the replay-window step (cold: replay_freq / mesh intervals /
+        # finalize; W frames x 2x rays) have ~10x different touched
+        # footprints (EVAL_r04 autocap500: replay steps touched 15-17k where
+        # current-frame steps touch ~2-8k), so they get SEPARATE caps —
+        # a replay overflow must not permanently inflate the hot path's
+        # reconcile. Overflow is lossless either way: the step is replayed
+        # from its pre-dispatch state at the grown cap (_retry_ba_touched /
+        # _mega_finalize), so auto sizing can never corrupt the map — it
+        # only costs a re-jit per growth.
+        acap_v = vm.acap(self.map_cfg)
         tc = int(tpu.get("touched_cap", 0))
-        if tc <= 0:  # 0 -> auto: start small, detect-grow on overflow
-            # (check_touched_overflow). Measured touched counts sit ~45x
-            # below active_cap (EVAL_r04 profile_ba2: 1436 vs 65536 at the
-            # bench budget); the reconcile scatter is O(touched_cap), so
-            # sizing to active_cap wastes ~55 ms per BA step on padding.
-            tc = min(vm.acap(self.map_cfg), 4096)
+        if tc > 0:  # explicit: pin both (bench runs pin to fix shapes)
+            tc_cur = tc_rand = min(tc, acap_v)
+        else:  # auto: floors from the r4 chip measurements above
+            tc_cur = min(acap_v, 8192)
+            tc_rand = min(acap_v, 32768)
         base_bp = dict(
             truncation=float(crit["sdf_truncation"]),
             max_depth=shapes["max_depth"],
             fs_weight=float(crit["fs_weight"]),
             sdf_weight=float(crit["sdf_weight"]),
             compute_dtype=self.compute_dtype,
-            touched_cap=min(tc, vm.acap(self.map_cfg)),
             exact_embedding_grads=bool(tpu.get("exact_embedding_grads", False)),
             ray_superset=int(tpu.get("ba_ray_superset", 2)),
             reconcile_mode=str(tpu.get("reconcile_mode", "mean")),
@@ -273,6 +283,7 @@ class NerfLoamSLAM:
             n_frames=1,
             n_rays=int(mspec["N_rays_each"]),
             num_iterations=int(mspec["num_iterations"]),
+            touched_cap=tc_cur,
             **base_bp,
         )
         self.window_size = int(mspec["window_size"])
@@ -280,6 +291,7 @@ class NerfLoamSLAM:
             n_frames=self.window_size,
             n_rays=int(mspec["N_rays_each"]) * 2,  # mapping.py:187
             num_iterations=int(mspec["num_iterations"]),
+            touched_cap=tc_rand,
             **base_bp,
         )
         self.ba_lrs = np.asarray(
@@ -354,6 +366,17 @@ class NerfLoamSLAM:
         self._dev_last_pose6 = None  # raw tracked pose, last dispatched frame
         self._dev_prev_pose6 = None  # ... and the frame before it
         self._defer_replays = 0      # times the rewind+replay path ran
+        self._pending_ba = None      # last BA call's pre-state + args (the
+        #   lossless touched-overflow retry rewinds to it, _retry_ba_touched)
+        # machine-visible overflow accounting (bench.py / eval_replica.py
+        # report these; a CI gate asserts dropped_delta_events == 0):
+        # every class is handled by grow + REPLAY from pre-overflow state,
+        # so growth costs a re-jit + one replayed step but never data.
+        self.overflow_events = {
+            "capacity": 0, "active": 0, "touched": 0, "cand": 0,
+        }
+        self.dropped_delta_events = 0  # steps whose deltas were actually
+        #   lost (retry exhausted) — must stay 0; > 0 is a defect
 
         self._mega_cache = {}
         # multi-chip: rays dp-sharded over a device mesh, map/decoder
@@ -463,6 +486,7 @@ class NerfLoamSLAM:
         while vm.overflowed(self.state.map_state, self.map_cfg):
             new_cap = self.map_cfg.capacity * 2
             print(f"[map] capacity exhausted; growing to {new_cap}")
+            self.overflow_events["capacity"] += 1
             self.state.map_state, self.map_cfg = vm.grow(
                 self.state.map_state, self.map_cfg, new_cap
             )
@@ -487,6 +511,7 @@ class NerfLoamSLAM:
             f"[map] insert candidates {num_cand} > cand_cap "
             f"{self.insert_cand_cap}; growing to {cap} and re-running insert"
         )
+        self.overflow_events["cand"] += 1
         self.insert_cand_cap = cap
         self._mega_cache.clear()  # cand_cap is baked into the megastep
         pts, cos, val, p6 = self._pending_insert
@@ -511,15 +536,20 @@ class NerfLoamSLAM:
             f"[map] active set overflow ({n_active} > "
             f"{vm.acap(self.map_cfg)}); growing active_cap to {new_acap}"
         )
+        self.overflow_events["active"] += 1
         self.map_cfg = self.map_cfg._replace(active_cap=new_acap)
         self.state.map_cfg = self.map_cfg
         # touched_cap only ever needs to cover what one BA step samples —
         # growing the active set does not increase that, so keep the
         # right-sized cap (clamped to the new acap); touched overflow has
-        # its own detect-grow path (check_touched_overflow)
-        tc = min(self.bp_current.touched_cap, new_acap)
-        self.bp_current = self.bp_current._replace(touched_cap=tc)
-        self.bp_random = self.bp_random._replace(touched_cap=tc)
+        # its own lossless grow-and-replay path (_retry_ba_touched /
+        # _mega_finalize)
+        self.bp_current = self.bp_current._replace(
+            touched_cap=min(self.bp_current.touched_cap, new_acap)
+        )
+        self.bp_random = self.bp_random._replace(
+            touched_cap=min(self.bp_random.touched_cap, new_acap)
+        )
         self._mega_cache.clear()  # bp_current is baked into the megastep
         self.state.map_state = vm.refresh_active(self.state.map_state, self.map_cfg)
 
@@ -559,23 +589,112 @@ class NerfLoamSLAM:
                     0.8 * self.sdf_bias + 0.2 * sb
                 ).astype(np.float32)
 
-    def check_touched_overflow(self, touched_count: int):
-        """Warn + grow when a BA step touched more voxels than touched_cap
-        (this frame's over-cap deltas were dropped; later frames won't be)."""
-        cap = self.bp_current.touched_cap
+    def _grow_touched_cap(self, touched_count: int, which: str = "current") -> bool:
+        """Grow the reconcile budget of ONE step class ("current" |
+        "random") to cover ``touched_count`` (no re-run — callers rewind and
+        replay the overflowed BA step, losslessly). The classes have ~10x
+        different touched footprints, so growth never couples them."""
+        bp = self.bp_current if which == "current" else self.bp_random
+        cap = bp.touched_cap
         if touched_count <= cap:
-            return
+            return False
         new_cap = cap
         while touched_count > new_cap:
             new_cap *= 2
         new_cap = min(new_cap, vm.acap(self.map_cfg))
         print(
-            f"[map] BA touched {touched_count} voxels > touched_cap {cap}: "
-            f"this step's over-cap deltas were dropped; growing to {new_cap}"
+            f"[map] BA({which}) touched {touched_count} voxels > "
+            f"touched_cap {cap}; growing to {new_cap} and re-running the "
+            f"step (lossless)"
         )
-        self.bp_current = self.bp_current._replace(touched_cap=new_cap)
-        self.bp_random = self.bp_random._replace(touched_cap=new_cap)
-        self._mega_cache.clear()
+        self.overflow_events["touched"] += 1
+        if which == "current":
+            self.bp_current = self.bp_current._replace(touched_cap=new_cap)
+            self._mega_cache.clear()  # bp_current is baked into the megastep
+        else:
+            self.bp_random = self.bp_random._replace(touched_cap=new_cap)
+        return True
+
+    def _grow_budgets(self, num_lat: int, n_active: int, touched: int,
+                      num_cand: int) -> bool:
+        """Grow every static budget the fetched counts overflowed — WITHOUT
+        re-running anything. Callers (the megastep retry loop) rewind
+        ``state.map_state`` to the overflowed step's pre-dispatch state
+        first, call this, then replay the step, so no overflow class ever
+        loses data. Mutates ``state.map_state`` shapes to match the grown
+        config (capacity copy / active-set rebuild)."""
+        grew = False
+        if num_lat > self.map_cfg.capacity:
+            new_cap = self.map_cfg.capacity
+            while num_lat > new_cap:
+                new_cap *= 2
+            print(f"[map] capacity exhausted; growing to {new_cap}")
+            self.overflow_events["capacity"] += 1
+            self.state.map_state, self.map_cfg = vm.grow(
+                self.state.map_state, self.map_cfg, new_cap
+            )
+            self.state.map_cfg = self.map_cfg
+            grew = True
+        if n_active > vm.acap(self.map_cfg):
+            new_acap = vm.acap(self.map_cfg)
+            while n_active > new_acap:
+                new_acap *= 2
+            new_acap = min(new_acap, self.map_cfg.capacity)
+            print(
+                f"[map] active set overflow ({n_active} > "
+                f"{vm.acap(self.map_cfg)}); growing active_cap to {new_acap}"
+            )
+            self.overflow_events["active"] += 1
+            self.map_cfg = self.map_cfg._replace(active_cap=new_acap)
+            self.state.map_cfg = self.map_cfg
+            # resize the active-set views to the new cap (the replayed step
+            # consumes them at the grown static shape)
+            self.state.map_state = vm.refresh_active(
+                self.state.map_state, self.map_cfg
+            )
+            grew = True
+        if self._grow_touched_cap(touched):
+            grew = True
+        if num_cand > self.insert_cand_cap:
+            cap = self.insert_cand_cap
+            while num_cand > cap:
+                cap *= 2
+            print(
+                f"[map] insert candidates {num_cand} > cand_cap "
+                f"{self.insert_cand_cap}; growing to {cap}"
+            )
+            self.overflow_events["cand"] += 1
+            self.insert_cand_cap = cap
+            grew = True
+        if grew:
+            self._mega_cache.clear()  # bp/cand_cap are baked into megasteps
+        return grew
+
+    def _retry_ba_touched(self, touched_count: int):
+        """Lossless touched-overflow retry for do_mapping-driven BA steps
+        (bootstrap, replay windows, the staged frame path): rewind to the
+        call's pre-BA state, grow the reconcile budget, and re-run the BA
+        step with the SAME RNG key. BA is deterministic in its inputs and
+        touched_cap only affects the final reconcile, so the replay
+        reproduces the step exactly — now with every delta folded in.
+        Returns the new BAResult, or None if no overflow."""
+        pb = self._pending_ba
+        if pb is None or touched_count <= pb["bp"].touched_cap:
+            return None
+        self._grow_touched_cap(touched_count, pb["which"])
+        grown = (self.bp_current if pb["which"] == "current"
+                 else self.bp_random)
+        bp = pb["bp"]._replace(touched_cap=grown.touched_cap)
+        st = self.state
+        st.map_state = pb["pre_map_state"]
+        st.decoder_params = pb["pre_decoder_params"]
+        res = self._ba_call(bp, st.map_state, st.decoder_params,
+                            st.decoder_meta, *pb["args"], pb["key"])
+        st.map_state = st.map_state._replace(
+            embeddings=res.embeddings, packed=res.packed
+        )
+        st.decoder_params = res.decoder_params
+        return res
 
     def insert_keyframe(self, frame: Frame):
         kf = frame.cropped(self.key_distance, self.kf_points_pad)
@@ -615,21 +734,42 @@ class NerfLoamSLAM:
             [update_pose and f.index != st.first_frame_id for f in targets]
             + [False] * (bp.n_frames - len(targets))
         )
-        res = self._ba_call(
-            bp,
-            st.map_state, st.decoder_params, st.decoder_meta,
+        ba_args = (
             poses_dev if poses_dev is not None else jnp.asarray(poses),
             pts, cos, val,
             jnp.asarray(active), jnp.asarray(pose_free),
             jnp.asarray(bool(update_decoder)),
-            self._ba_lrs_dev, self._next_key(),
+            self._ba_lrs_dev,
+        )
+        key = self._next_key()
+        # pre-state + args for the lossless touched-overflow retry
+        # (_retry_ba_touched); BA mutates only embeddings/packed/decoder,
+        # so the saved map_state reference IS the rewind point
+        self._pending_ba = {
+            "bp": bp,
+            "which": "current" if selection_method == "current" else "random",
+            "pre_map_state": st.map_state,
+            "pre_decoder_params": st.decoder_params,
+            "args": ba_args,
+            "key": key,
+        }
+        res = self._ba_call(
+            bp, st.map_state, st.decoder_params, st.decoder_meta,
+            *ba_args, key,
         )
         st.map_state = st.map_state._replace(
             embeddings=res.embeddings, packed=res.packed
         )
         st.decoder_params = res.decoder_params
         if not defer_pose_fetch:
-            self._apply_ba_poses(targets, pose_free, np.asarray(res.poses))
+            poses_np, touched_np = jax.device_get(
+                (res.poses, res.touched_count)
+            )
+            res2 = self._retry_ba_touched(int(touched_np))
+            if res2 is not None:
+                res = res2  # poses are bitwise identical (see retry doc)
+            self._pending_ba = None  # release the rewind generation
+            self._apply_ba_poses(targets, pose_free, np.asarray(poses_np))
         return res, [(targets, pose_free)]
 
     def _ba_call(self, bp, map_state, dec_params, dec_meta, poses, pts, cos,
@@ -975,9 +1115,33 @@ class NerfLoamSLAM:
                 st.tracking_trajectory.append(frame.pose_matrix())
             for targets, pose_free in ba_meta:
                 self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
+            res2 = self._retry_ba_touched(int(got[3]))
+            if res2 is not None:
+                # the rewind erased this frame's voxel insert — re-run it on
+                # the retried (lossless) state. Poses and the structural
+                # counters are deterministic across the retry (touched_cap
+                # only changes the reconcile), so the already-fetched
+                # num_lat / n_active / num_cand stay valid; only the field
+                # changed, so re-measure the bias probe on it.
+                ba_res = res2
+                self.create_voxels(
+                    mapper_frame, pose_dev=ba_res.poses[0],
+                    check_overflow=False,
+                )
+                if self.bias_correction and self.bias_source == "keyframe":
+                    kf = st.current_keyframe
+                    kf_pts, kf_cos, kf_val = kf.device_arrays()
+                    bias_dev = _surface_bias_jit(
+                        st.map_state, self.map_cfg, st.decoder_params,
+                        st.decoder_meta, jnp.asarray(kf.pose6), kf_pts,
+                        kf_val, self.rc_map.max_depth, points_cos=kf_cos,
+                    )
+                else:
+                    bias_dev = ba_res.surface_bias
+                got[4] = jax.device_get(bias_dev)
+            self._pending_ba = None
             self.check_map_overflow(int(got[1]))
             self.check_active_overflow(int(got[2]))
-            self.check_touched_overflow(int(got[3]))
             self._update_sdf_bias(got[4])
             self.check_cand_overflow(int(got[5]))
         self._post_frame(frame, mapper_frame)
@@ -1105,6 +1269,51 @@ class NerfLoamSLAM:
         frame, mapper_frame = rec["frame"], rec["mapper_frame"]
         with self.prof.section("sync"):
             got = jax.device_get(rec["outs"])
+        # -- lossless overflow handling FIRST (r5: every overflow class is
+        # grow + REPLAY, never drop): rewind THIS frame to its pre-dispatch
+        # state, grow the overflowed budgets, and re-run the whole megastep
+        # with the same RNG keys — the replay reproduces the frame exactly,
+        # except at the grown shapes (and, when active_cap grew, with the
+        # voxels the truncated active set had hidden). A newer in-flight
+        # dispatch consumed the overflowed state, so it is replayed on top
+        # afterwards. Bookkeeping below must see the FINAL outs.
+        num_lat, n_active = int(got[3]), int(got[4])
+        touched, num_cand = int(got[5]), int(got[7])
+
+        def _over():
+            return (
+                num_lat > self.map_cfg.capacity
+                or n_active > vm.acap(self.map_cfg)
+                or touched > self.bp_current.touched_cap
+                or num_cand > self.insert_cand_cap
+            )
+
+        if _over():
+            newer = self._inflight if self._inflight is not rec else None
+            for _ in range(8):  # each round at least doubles a budget
+                st.map_state = rec["pre_map_state"]
+                st.decoder_params = rec["pre_decoder_params"]
+                self._grow_budgets(num_lat, n_active, touched, num_cand)
+                rec["pre_map_state"] = st.map_state  # grown rewind point
+                self._mega_run(rec)
+                got = jax.device_get(rec["outs"])
+                num_lat, n_active = int(got[3]), int(got[4])
+                touched, num_cand = int(got[5]), int(got[7])
+                if not _over():
+                    break
+            if _over():  # can't happen: counts are bounded by ray budgets
+                self.dropped_delta_events += 1
+                print(
+                    "[map] WARNING: overflow retry exhausted "
+                    f"(lat {num_lat} act {n_active} touch {touched} "
+                    f"cand {num_cand}); this frame's over-budget results "
+                    "were dropped"
+                )
+            if newer is not None:
+                newer["pre_map_state"] = st.map_state
+                newer["pre_decoder_params"] = st.decoder_params
+                self._mega_run(newer)
+                self._defer_replays += 1
         # tracker bookkeeping (track_finalize semantics; st.last_frame was
         # already advanced at dispatch)
         frame.pose6 = np.asarray(got[0], np.float32)
@@ -1126,36 +1335,6 @@ class NerfLoamSLAM:
         if rec["pose_free"][0]:
             mapper_frame.pose6 = np.asarray(got[2][0], np.float32)
         self._update_sdf_bias(got[6])
-        # overflow handling. With a newer frame in flight, its dispatch
-        # consumed the overflowed state: rewind to its pre-dispatch state,
-        # run the standard grow/retry machinery against THIS frame's pending
-        # insert, then replay the newer dispatch. (If a replay_freq step ran
-        # between the two dispatches, its BA refinement is dropped by the
-        # rewind — map structure is fully re-derived; growth events are a
-        # handful per sequence.)
-        num_lat, n_active = int(got[3]), int(got[4])
-        touched, num_cand = int(got[5]), int(got[7])
-        needs_fix = (
-            num_lat > self.map_cfg.capacity
-            or n_active > vm.acap(self.map_cfg)
-            or touched > self.bp_current.touched_cap
-            or num_cand > self.insert_cand_cap
-        )
-        if needs_fix:
-            newer = self._inflight if self._inflight is not rec else None
-            if newer is not None:
-                st.map_state = newer["pre_map_state"]
-                st.decoder_params = newer["pre_decoder_params"]
-            self._pending_insert = rec["pending_insert"]
-            self.check_map_overflow(num_lat)
-            self.check_active_overflow(n_active)
-            self.check_touched_overflow(touched)
-            self.check_cand_overflow(num_cand)
-            if newer is not None:
-                newer["pre_map_state"] = st.map_state
-                newer["pre_decoder_params"] = st.decoder_params
-                self._mega_run(newer)
-                self._defer_replays += 1
         # release the pre-dispatch generation so its buffers free
         rec["pre_map_state"] = rec["pre_decoder_params"] = None
         self._post_frame(frame, mapper_frame)
@@ -1179,15 +1358,24 @@ class NerfLoamSLAM:
         if gap > self.keyframe_gap:
             self.insert_keyframe(mapper_frame)
 
+        # record BEFORE the replay block: draining there finalizes the
+        # in-flight frame, whose _post_frame records ITS trajectory entry —
+        # this frame's entry must precede it
+        self._record_trajectory(mapper_frame)
+
         if (self.replay_freq > 0 and len(st.keyframes) > 1
                 and st.frames_processed % self.replay_freq == 0):
             with self.prof.section("replay"):
+                # finalize the in-flight frame first: a replay step wedged
+                # between two in-flight dispatches would be erased by the
+                # lossless overflow rewind (_mega_finalize), silently losing
+                # its BA refinement (r4 weak #7). The replay syncs for its
+                # poses anyway, so this adds no extra round trip.
+                self._drain()
                 self._replay(1)
                 # replay recenters to a random keyframe; restore the live
                 # region around the vehicle for the next frame's tracker
                 self._recenter(mapper_frame.pose6[:3])
-
-        self._record_trajectory(mapper_frame)
 
         if self.mesh_freq > 0 and frame.index % self.mesh_freq == 0:
             self._drain()  # mesh/poses reflect a caught-up frame loop

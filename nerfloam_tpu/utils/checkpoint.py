@@ -112,11 +112,13 @@ def save_checkpoint(path: str, slam) -> None:
         "sdf_bias": np.asarray(
             getattr(slam, "sdf_bias", 0.0), np.float64
         ).reshape(-1).tolist(),  # (2,) [ground, non-ground] since r4
-        # grown-on-overflow budgets (r4): the auto touched_cap starts small
-        # and doubles on overflow, DROPPING the overflowed step's over-cap
-        # deltas — a resume that restarted at the small default could relive
-        # a drop the uninterrupted run never had, breaking bit-stable resume
+        # grown-on-overflow budgets: overflow is lossless since r5 (grow +
+        # replay), but persisting the grown caps keeps resume bit-stable
+        # against an uninterrupted run (a resume that restarted at the small
+        # auto default would replay growth steps at different shapes).
+        # r5 splits the current-frame and replay-window reconcile budgets.
         "touched_cap": int(slam.bp_current.touched_cap),
+        "touched_cap_random": int(slam.bp_random.touched_cap),
         "insert_cand_cap": int(slam.insert_cand_cap),
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -208,7 +210,10 @@ def load_checkpoint(path: str, slam) -> None:
     if tc > 0:
         tc = min(tc, vm.acap(slam.map_cfg))
         slam.bp_current = slam.bp_current._replace(touched_cap=tc)
-        slam.bp_random = slam.bp_random._replace(touched_cap=tc)
+        # r5: separate replay-window budget (pre-r5 manifests shared one)
+        tcr = min(int(manifest.get("touched_cap_random", tc)),
+                  vm.acap(slam.map_cfg))
+        slam.bp_random = slam.bp_random._replace(touched_cap=tcr)
     cc = int(manifest.get("insert_cand_cap", 0))
     if cc > 0:
         slam.insert_cand_cap = cc

@@ -106,18 +106,20 @@ DEFAULTS = {
         "active_cap": 1 << 18,       # per-frame active surface-voxel budget
         #                              (grows automatically on overflow)
         "touched_cap": 0,            # BA delta-reconciliation budget;
-        #                              0 -> auto: start at min(active_cap,
-        #                              4096) and double on overflow (one
-        #                              warn + re-jit per growth; the
-        #                              overflowed step's over-cap deltas
-        #                              are dropped). The reconcile scatter
-        #                              is O(touched_cap), and measured
-        #                              touched counts are ~45x below
-        #                              active_cap (profile_ba2, EVAL_r04) —
-        #                              sizing to active_cap costs ~55 ms of
-        #                              pure padding per BA step. Set
-        #                              explicitly (or to active_cap) to pin
-        #                              shapes / guarantee losslessness.
+        #                              0 -> auto: current-frame steps start
+        #                              at min(active_cap, 8192), replay-
+        #                              window steps at min(active_cap,
+        #                              32768) (their touched footprints
+        #                              differ ~10x — EVAL_r04 autocap500),
+        #                              each doubling independently on
+        #                              overflow. Overflow is LOSSLESS (r5):
+        #                              the step is replayed from its
+        #                              pre-dispatch state at the grown cap,
+        #                              costing one re-jit + one replayed
+        #                              step, never data. The reconcile
+        #                              scatter is O(touched_cap), so set
+        #                              explicitly only to pin shapes (e.g.
+        #                              bench timing).
         "reconcile_mode": "mean",    # shared-corner delta combining
         #                              ("mean" | "sum"), voxel_map.reconcile_packed
         "exact_embedding_grads": False,  # reference-exact (slow) BA grads

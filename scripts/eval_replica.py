@@ -83,6 +83,12 @@ def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
         "scans_per_sec": round(len(est) / wall, 3),
         "ate_raw_m": round(ev.ate_rmse(est, gt, align=False), 4),
         "ate_aligned_m": round(ev.ate_rmse(est, gt, align=True), 4),
+        # machine-visible overflow accounting (VERDICT r4 item 2): growth
+        # events are lossless (grow + replay) but flag mis-sized budgets;
+        # dropped_delta_events > 0 is a correctness defect and gated in CI
+        "growth_events": int(sum(slam.overflow_events.values())),
+        "overflow_events": {k: int(v) for k, v in slam.overflow_events.items()},
+        "dropped_delta_events": int(slam.dropped_delta_events),
     }
     # per-frame drift rates (scripts/traj_decompose.py decomposition): these
     # are rate quantities, so unlike ATE they discriminate drift-class
