@@ -113,10 +113,12 @@ QUALITY_OVERRIDES = [
     "tpu_specs.band_samples=8",
     "tpu_specs.bias_correction=true",
     # support voxels ~triple the active set and band sampling touches more
-    # voxels per step — scale both right-sized budgets back up so the
-    # quality row never times a mid-bench growth re-jit
-    "tpu_specs.active_cap=65536",
-    "tpu_specs.touched_cap=16384",
+    # voxels per step — measured on this row: active hit 65775 and touched
+    # overflowed 16384 once (r5 first quality bench, growth_events=2), so
+    # both budgets get 2x that headroom to keep mid-bench re-jits out of
+    # the timing
+    "tpu_specs.active_cap=131072",
+    "tpu_specs.touched_cap=32768",
 ]
 
 

@@ -107,6 +107,9 @@ class BAResult(NamedTuple):
     #   than the pooled mean on the 500-frame replica (the ground-only
     #   EMA tracks the post-BA overfit transient at training points, not
     #   the settled offset the next tracker sees) — keep the pooled mean.
+    upd_count: jnp.ndarray = None  # (C,) int32 per-voxel BA-touch counts
+    #   (voxel_map.bump_upd_count) — the tracker's voxel-maturity signal
+    #   (TrackParams.maturity_warmup). Applied alongside embeddings/packed.
 
 
 def _local_cols(x: jnp.ndarray, axis_name: str | None, c: int) -> jnp.ndarray:
@@ -356,6 +359,7 @@ def _ba_core(
     )
 
     touched_count = jnp.sum(touched, dtype=jnp.int32)
+    upd_count = vm.bump_upd_count(map_state, map_cfg, touched)
     if bp.exact_embedding_grads:
         new_emb = emb
     else:
@@ -393,7 +397,7 @@ def _ba_core(
     else:
         surface_bias = jnp.zeros((), jnp.float32)
     return BAResult(new_emb, packed, dec, pos, loss, touched_count,
-                    surface_bias)
+                    surface_bias, upd_count)
 
 
 def surface_bias_at(

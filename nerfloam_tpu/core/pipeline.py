@@ -183,6 +183,8 @@ class NerfLoamSLAM:
             resample_rays=bool(tpu.get("track_resample_rays", False)),
             surface_anchor=int(tpu.get("surface_anchor", 0)),
             band_samples=int(tpu.get("band_samples", 0)),
+            maturity_warmup=int(tpu.get("maturity_warmup", 0)),
+            maturity_floor=float(tpu.get("maturity_floor", 0.25)),
         )
         self.track_method = str(tpu.get("track_method", "adam"))
         if self.track_method not in ("adam", "gn"):
@@ -691,7 +693,8 @@ class NerfLoamSLAM:
         res = self._ba_call(bp, st.map_state, st.decoder_params,
                             st.decoder_meta, *pb["args"], pb["key"])
         st.map_state = st.map_state._replace(
-            embeddings=res.embeddings, packed=res.packed
+            embeddings=res.embeddings, packed=res.packed,
+            upd_count=res.upd_count,
         )
         st.decoder_params = res.decoder_params
         return res
@@ -758,7 +761,8 @@ class NerfLoamSLAM:
             *ba_args, key,
         )
         st.map_state = st.map_state._replace(
-            embeddings=res.embeddings, packed=res.packed
+            embeddings=res.embeddings, packed=res.packed,
+            upd_count=res.upd_count,
         )
         st.decoder_params = res.decoder_params
         if not defer_pose_fetch:
@@ -977,7 +981,8 @@ class NerfLoamSLAM:
                     val_m[None], jnp.ones((1,), jnp.bool_), pose_free,
                     update_decoder, ba_lrs, k_ba,
                 )
-                st = st._replace(embeddings=ba.embeddings, packed=ba.packed)
+                st = st._replace(embeddings=ba.embeddings, packed=ba.packed,
+                                 upd_count=ba.upd_count)
                 if kf_bias:
                     # settled-bias probe on the current keyframe's cloud
                     # (ba.surface_bias_at) — replaces the window probe

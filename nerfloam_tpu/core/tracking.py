@@ -64,6 +64,20 @@ class TrackParams(NamedTuple):
     #   scan-to-scan projective point-to-plane term to the GN system
     #   (tpu_specs.s2s_weight > 0, GN tracker only). Map-independent
     #   relative-motion observation targeting along-track drift.
+    maturity_warmup: int = 0  # > 0: down-weight residual samples that fall
+    #   in under-converged voxels (GN tracker only). A voxel's maturity is
+    #   its BA-touch count (MapState.upd_count); sample weight is scaled by
+    #   maturity_floor + (1-floor) * min(count / maturity_warmup, 1).
+    #   Rationale: the measured along-track drift driver is the tracker
+    #   registering against freshly-allocated frontier voxels ahead of the
+    #   sensor whose SDF hasn't converged (EVAL_r04 frontier probe:
+    #   live-field pull +0.56 cm/f ~= the closed-loop invariant). The
+    #   settled map behind/beside the sensor should dominate the pose.
+    #   0 = off (reference parity). Scale-invariance note: when ALL samples
+    #   are equally immature (bootstrap, new rooms) the weights scale H and
+    #   b uniformly, so the GN step is unchanged — the floor only matters
+    #   for mixed populations.
+    maturity_floor: float = 0.25  # minimum maturity weight (see above)
 
 
 class TrackResult(NamedTuple):
@@ -167,6 +181,21 @@ def _track_gn_core(
 
     T = tp.truncation
 
+    # voxel-maturity weighting (TrackParams.maturity_warmup): per-ACTIVE-row
+    # BA-touch counts, hoisted once — per-sample weights are one tiny (R, M)
+    # int gather per iteration
+    if tp.maturity_warmup > 0:
+        cnt_active = map_state.upd_count[map_state.active_ids].astype(
+            jnp.float32
+        )                                                     # (A,)
+
+        def maturity_w(aid):
+            cnt = cnt_active[jnp.clip(aid, 0)]
+            frac = jnp.minimum(cnt / float(tp.maturity_warmup), 1.0)
+            return tp.maturity_floor + (1.0 - tp.maturity_floor) * frac
+    else:
+        maturity_w = None
+
     from nerfloam_tpu.core.render import field_from_embs
 
     def field_and_grad(xyz, embs):
@@ -185,9 +214,10 @@ def _track_gn_core(
         grad_val = jax.grad(f_sum)(xyz)
         return sdf_val, grad_val
 
-    def _residual_parts(pose6, z, embs, vmask):
+    def _residual_parts(pose6, z, embs, vmask, mat_w=None):
         """sdf + residuals/weights at a pose, with FIXED sample depths z and
-        corner rows."""
+        corner rows. ``mat_w``: optional (N, M) per-sample voxel-maturity
+        weight multiplied into the count-balanced weights."""
         wdirs = se3.rotate_dirs(pose6, dirs)
         t_pos = se3.pose_translation(pose6)
         origin = jnp.broadcast_to(t_pos, wdirs.shape)
@@ -208,6 +238,8 @@ def _track_gn_core(
             front, sdf - 1.0, (zc + (sdf - bias_ray[:, None]) * T) - d
         )
         w = jnp.where(front, w_fs, w_sdf) * (front | band)
+        if mat_w is not None:
+            w = w * mat_w
         jscale = jnp.where(front, 1.0, T)
         return xyz, t_pos, r, w, jscale
 
@@ -235,6 +267,7 @@ def _track_gn_core(
             embs = map_state.packed[jnp.clip(flid, 0)]
         ray_mask = ray_mask & rvalid
         vmask = vmask & rvalid[:, None]
+        mat_w = maturity_w(flid) if maturity_w is not None else None
         if tp.surface_anchor or tp.band_samples:
             from nerfloam_tpu.core.render import band_sample_z
             from nerfloam_tpu.map import voxel_map as _vm
@@ -261,8 +294,12 @@ def _track_gn_core(
             z = jnp.concatenate([z, ez], axis=1)
             vmask = jnp.concatenate([vmask, eval_], axis=1)
             embs = jnp.concatenate([embs, eembs], axis=1)
+            if mat_w is not None:
+                mat_w = jnp.concatenate([mat_w, maturity_w(eaid)], axis=1)
 
-        xyz, t_pos, r, w, jscale = _residual_parts(pose6, z, embs, vmask)
+        xyz, t_pos, r, w, jscale = _residual_parts(
+            pose6, z, embs, vmask, mat_w
+        )
         _, g = field_and_grad(xyz, embs)
         loss_cur = allsum(jnp.sum(w * r * r))
 

@@ -87,6 +87,14 @@ class MapState(NamedTuple):
     num_cand: jnp.ndarray = None  # () int32 — new-voxel candidates seen by
     #   the LAST insert; > the insert's cand_cap means candidates were
     #   dropped (host doubles the cap and re-runs, pipeline.check_map_overflow)
+    upd_count: jnp.ndarray = None  # (C,) int32 — BA steps that touched each
+    #   SURFACE voxel's row (bump_upd_count; keyed by the voxel's own lattice
+    #   id, so counts survive recenter/grow). Convergence proxy: freshly
+    #   allocated frontier voxels have low counts, settled interior high.
+    #   The GN tracker down-weights residual samples in low-count voxels
+    #   (TrackParams.maturity_warmup) — the measured along-track drift
+    #   driver is the tracker registering against under-converged frontier
+    #   voxels ahead of the sensor (EVAL_r04 frontier probe: +0.56 cm/f).
 
 
 def acap(cfg: MapConfig) -> int:
@@ -112,6 +120,7 @@ def create(cfg: MapConfig) -> MapState:
         packed=jnp.zeros((A, 8 * cfg.feat_dim), jnp.float32),
         active_coords=jnp.zeros((A, 3), jnp.int32),
         num_cand=jnp.zeros((), jnp.int32),
+        upd_count=jnp.zeros((C,), jnp.int32),
     )
 
 
@@ -276,6 +285,17 @@ def reconcile_packed(
         delta.astype(state.embeddings.dtype), mode="drop"
     )
     return emb
+
+
+def bump_upd_count(state: MapState, cfg: MapConfig,
+                   touched: jnp.ndarray) -> jnp.ndarray:
+    """(C,) upd_count with +1 at every ACTIVE voxel row touched this BA step
+    (``touched`` is the (A,) mask core/ba.py accumulates from nonzero packed
+    gradients). Keyed by lattice id via active_ids; padding rows carry
+    touched=False (no gradients flow to them) so no spurious counts."""
+    C = cfg.capacity
+    dest = jnp.where(touched, state.active_ids, C)
+    return state.upd_count.at[dest].add(1, mode="drop")
 
 
 def pack_embeddings(state: MapState, cfg: MapConfig) -> jnp.ndarray:
@@ -450,6 +470,7 @@ def grow(state: MapState, cfg: MapConfig, new_capacity: int) -> tuple[MapState, 
         grid_active=state.grid_active,
         packed=state.packed,
         active_coords=state.active_coords,
+        upd_count=bigger.upd_count.at[:C].set(state.upd_count),
     )
     return bigger, new_cfg
 

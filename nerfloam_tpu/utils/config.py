@@ -182,6 +182,14 @@ DEFAULTS = {
         "band_samples": 0,               # extra stratified samples across
         #                                  the truncation band around each
         #                                  measured depth, 0 = off
+        "maturity_warmup": 0,            # > 0: GN tracker down-weights
+        #                                  residual samples in voxels whose
+        #                                  BA-touch count < this (frontier
+        #                                  drift fix — the live field's
+        #                                  under-converged frontier pulls
+        #                                  the pose forward, EVAL_r04
+        #                                  frontier probe); 0 = off
+        "maturity_floor": 0.25,          # minimum maturity weight
         "support_dist": 0.0,             # meters past each measured point
         #                                  to allocate a support voxel
         #                                  (below ground / behind walls) so

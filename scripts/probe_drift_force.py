@@ -66,6 +66,10 @@ def main():
                         "still training)")
     p.add_argument("--warmup", type=int, default=10,
                    help="frontier mode: first probed frame")
+    p.add_argument("--maturity-sweep", action="store_true",
+                   help="frontier mode: also probe tracker variants with "
+                        "voxel-maturity down-weighting (warmup x floor "
+                        "grid) — the frontier-drift fix A/B")
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
@@ -101,10 +105,11 @@ def main():
         lat /= np.linalg.norm(lat) + 1e-12
         return fwd, lat
 
-    def track_pull(j, bias):
+    def track_pull(j, bias, tp=None):
         """Run the shipped tracker on frame j, initialized AT its GT pose,
         against the CURRENT map; return the converged displacement in the
-        GT travel frame (along, lat, dz in m; rot in deg)."""
+        GT travel frame (along, lat, dz in m; rot in deg). ``tp`` overrides
+        the shipped TrackParams (maturity sweep)."""
         st = slam.state
         mc = slam.map_cfg
         _, pts, cos, pose = ds[j]
@@ -116,7 +121,7 @@ def main():
         fwd, lat = travel_frame(j)
         pts_d, cos_d, val_d = frame.device_arrays()
         res = slam._track_fn(
-            st.map_state, mc, slam.rc_track, slam.tp,
+            st.map_state, mc, slam.rc_track, tp or slam.tp,
             st.decoder_params, st.decoder_meta,
             jnp.asarray(frame.pose6), pts_d, cos_d, val_d,
             slam._lr_track_lo, jax.random.PRNGKey(1234 + j),
@@ -158,13 +163,23 @@ def main():
             slam.process_frame(f)
             j = i + 1
             if i >= args.warmup and (i - args.warmup) % args.probe_every == 0:
-                for vname, bias in (
-                    ("bias_off", np.zeros(2, np.float32)),
+                bias0 = np.zeros(2, np.float32)
+                probes = [
+                    ("bias_off", bias0, None),
                     # the live shipped window-EMA bias at this point in the run
-                    ("bias_live", np.asarray(slam.sdf_bias, np.float32)),
-                ):
+                    ("bias_live", np.asarray(slam.sdf_bias, np.float32), None),
+                ]
+                if args.maturity_sweep:
+                    for w, fl in ((4, 0.25), (8, 0.25), (16, 0.25),
+                                  (8, 0.05)):
+                        probes.append((
+                            f"mat{w}_f{int(fl * 100):02d}", bias0,
+                            slam.tp._replace(maturity_warmup=w,
+                                             maturity_floor=fl),
+                        ))
+                for vname, bias, tp in probes:
                     variants.setdefault(vname, []).append(
-                        (j,) + track_pull(j, bias)
+                        (j,) + track_pull(j, bias, tp)
                     )
         out = {
             "config": args.config,
