@@ -76,17 +76,20 @@ BENCH_OVERRIDES = [
     "tpu_specs.region_z_half=12.0",
     "tpu_specs.compute_dtype=bfloat16",
     "tpu_specs.emb_dtype=bfloat16",
-    # active budget re-derived from the r4 bench runs that OVERFLOWED the
-    # previous sizing (BENCH_r04 tail: n_active hit 33268 > the pinned
-    # 32768 mid-bench; the 13.4k profile figure did not match the bench
-    # path). 65536 gives ~2x measured headroom; overflow is lossless since
-    # r5 (grow + replay) but a mid-bench growth would still time a re-jit.
-    "tpu_specs.active_cap=65536",
-    # reconcile budget, same method: the r4 bench hit touched 8205 > the
-    # pinned 8192 (BENCH_r04 tail). 16384 = 2x measured headroom. Pinned
-    # (not the auto default) so shapes are fixed for the whole timing;
-    # bench JSON reports growth_events so a violation is machine-visible.
-    "tpu_specs.touched_cap=16384",
+    # active budget derived from the measured peak of THIS deterministic
+    # bench run: the r5 first parity bench hit n_active 66635 (> the prior
+    # 65536, one growth event — /tmp/r5_chip/bench_parity.log). 73728 =
+    # 1.11x that peak; the active set is map coverage, insensitive to
+    # small numeric shifts, and overflow is lossless since r5 (grow +
+    # replay) — a violation costs a timed re-jit and shows up as
+    # growth_events > 0 in the JSON, never lost data.
+    "tpu_specs.active_cap=73728",
+    # reconcile budget, same method: the same run hit touched 16561 >
+    # 16384. 20480 = 1.24x measured peak (touched counts wobble more with
+    # trajectory numerics than the active set, hence the wider margin).
+    # Pinned (not the auto default) so shapes are fixed for the whole
+    # timing; kept tight because reconcile/pack cost is O(cap).
+    "tpu_specs.touched_cap=20480",
     # the shipped KITTI-class sampler (configs/kitti/kitti.yaml): per-step
     # hit tables; measured 2.06 -> 3.21 scans/s at this budget (r3)
     "tpu_specs.sampler=hits",

@@ -55,7 +55,8 @@ honor_jax_platforms_env()
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=("settled", "frontier"), default="settled")
+    p.add_argument("--mode", choices=("settled", "frontier", "gain"),
+                   default="settled")
     p.add_argument("--config", default="configs/synthetic/kitti_replica_ci.yaml")
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--frames", type=int, default=60)
@@ -105,11 +106,12 @@ def main():
         lat /= np.linalg.norm(lat) + 1e-12
         return fwd, lat
 
-    def track_pull(j, bias, tp=None):
-        """Run the shipped tracker on frame j, initialized AT its GT pose,
-        against the CURRENT map; return the converged displacement in the
-        GT travel frame (along, lat, dz in m; rot in deg). ``tp`` overrides
-        the shipped TrackParams (maturity sweep)."""
+    def track_pull(j, bias, tp=None, init_dt=None):
+        """Run the shipped tracker on frame j, initialized AT its GT pose
+        (optionally displaced by ``init_dt``, meters, world frame), against
+        the CURRENT map; return the converged displacement in the GT travel
+        frame (along, lat, dz in m; rot in deg). ``tp`` overrides the
+        shipped TrackParams (maturity sweep)."""
         st = slam.state
         mc = slam.map_cfg
         _, pts, cos, pose = ds[j]
@@ -119,11 +121,17 @@ def main():
                                has_gt_pose=True)
         gt_T = frame.pose_matrix()
         fwd, lat = travel_frame(j)
+        init6 = jnp.asarray(frame.pose6)
+        if init_dt is not None:
+            T0 = np.asarray(gt_T).copy()
+            T0[:3, 3] += np.asarray(init_dt, np.float64)
+            init6 = jnp.asarray(np.asarray(
+                se3.pose_from_matrix(jnp.asarray(T0, jnp.float32))))
         pts_d, cos_d, val_d = frame.device_arrays()
         res = slam._track_fn(
             st.map_state, mc, slam.rc_track, tp or slam.tp,
             st.decoder_params, st.decoder_meta,
-            jnp.asarray(frame.pose6), pts_d, cos_d, val_d,
+            init6, pts_d, cos_d, val_d,
             slam._lr_track_lo, jax.random.PRNGKey(1234 + j),
             jnp.asarray(bias, jnp.float32),
         )
@@ -191,6 +199,73 @@ def main():
                 for v, rows in variants.items()
             },
             "tracker_pull": summarize(variants),
+        }
+        print(json.dumps(out, indent=1))
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(out, fh)
+        return
+
+    if args.mode == "gain":
+        # ---- feedback loop gain: how much of an injected init error
+        # survives one track call in the frontier regime? The open-loop
+        # pull at HEAD is ~0 (frontier_maturity.json) yet closed-loop runs
+        # drift +0.55 cm/f along-track — if the tracker only removes a
+        # fraction (1-g) of its init error along-track (weak along-track
+        # observability: LiDAR geometry constrains lateral/z via walls and
+        # ground but along-track only via range texture), then const-vel
+        # extrapolation compounds the surviving fraction into a random
+        # walk with variance ~ (g/(1-g)) * per-frame noise — and any tiny
+        # systematic forward residue integrates linearly. g_along >>
+        # g_lat/g_z is the signature.
+        idx, pts, cos, pose = ds[0]
+        first = Frame.from_raw(idx, pts, cos, ds.get_init_pose(0),
+                               slam.points_pad, has_gt_pose=pose is not None)
+        slam.process_first_frame(first)
+        delta = 0.05  # 5 cm injected init error
+        variants = {}
+        for i in range(1, args.frames - 2):
+            idx, pts, cos, pose = ds[i]
+            f = Frame.from_raw(idx, pts, cos, pose, slam.points_pad,
+                               has_gt_pose=True)
+            slam.process_frame(f)
+            j = i + 1
+            if i >= args.warmup and (i - args.warmup) % args.probe_every == 0:
+                fwd, lat = travel_frame(j)
+                up = np.array([0.0, 0.0, 1.0])
+                bias0 = np.zeros(2, np.float32)
+                base = track_pull(j, bias0)
+                variants.setdefault("base", []).append((j,) + base)
+                for vname, direction in (
+                    ("along+", fwd), ("along-", -fwd),
+                    ("lat+", lat), ("z+", up),
+                ):
+                    r = track_pull(j, bias0, init_dt=direction * delta)
+                    variants.setdefault(vname, []).append((j,) + r)
+        # surviving-error gain per direction: (perturbed - base) pull
+        # projected on the injected axis, / delta
+        gains = {}
+        base_rows = {r[0]: r[1:] for r in variants["base"]}
+        axis_of = {"along+": (0, +1), "along-": (0, -1),
+                   "lat+": (1, +1), "z+": (2, +1)}
+        for vname, (ax, sign) in axis_of.items():
+            gs = []
+            for r in variants[vname]:
+                b = base_rows[r[0]]
+                gs.append(sign * (r[1 + ax] - b[ax]) / delta)
+            gs = np.asarray(gs)
+            gains[vname] = {
+                "gain_mean": round(float(gs.mean()), 4),
+                "gain_std": round(float(gs.std()), 4),
+                "n": int(len(gs)),
+            }
+        out = {
+            "config": args.config,
+            "mode": "gain",
+            "frames": args.frames,
+            "delta_cm": delta * 100,
+            "tracker_pull": summarize(variants),
+            "survival_gain": gains,
         }
         print(json.dumps(out, indent=1))
         if args.json_out:
