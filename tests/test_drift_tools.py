@@ -1,5 +1,6 @@
 """Round-3 drift machinery: settled-bias probe (ba.surface_bias_at) and
-finalize-time keyframe realignment (pipeline.finalize_realign)."""
+lazy recentering. (finalize_realign was measured, rejected, and excised
+in round 5 — EVAL_r04 / VERDICT r4 weak #8.)"""
 
 import os
 
@@ -89,42 +90,6 @@ def test_surface_bias_at_measures_field_offset():
     ))
     assert probe2[1, 0] > 0 and probe2[1, 1] > 0  # both classes populated
     assert abs(pooled(probe2) - b0) < 0.05  # same field, same pooled value
-
-
-@pytest.mark.slow  # ~2 min/case on 1-core CPU: full pipeline run
-@pytest.mark.parametrize("margin", [0.0, 2.0])
-def test_finalize_realign_smoke(margin):
-    """Pipeline run with finalize_realign + keyframe bias probe: completes,
-    poses stay finite and close to the non-realigned result. margin=2.0
-    additionally exercises the lazy-recenter realign path (the host-side
-    margin check in _realign_keyframes)."""
-    from nerfloam_tpu.core.pipeline import NerfLoamSLAM
-    from nerfloam_tpu.data import get_dataset
-    from nerfloam_tpu.utils.config import load_config
-    from nerfloam_tpu.utils import evaluation as ev
-
-    cfg = load_config(CFG_PATH, [
-        "data_specs.n_frames=8",
-        "tpu_specs.bootstrap_steps=4",
-        "tracker_specs.num_iterations=6",
-        "mapper_specs.num_iterations=6",
-        "mapper_specs.keyframe_gap=1.0",  # force several keyframes
-        "tpu_specs.finalize_realign=true",
-        "tpu_specs.bias_correction=true",
-        "tpu_specs.bias_source=keyframe",
-        f"tpu_specs.recenter_margin={margin}",
-    ])
-    dataset = get_dataset(cfg)
-    slam = NerfLoamSLAM(cfg, dataset)
-    poses = slam.run()
-    est = np.asarray(poses)
-    assert np.isfinite(est).all()
-    assert len(slam.state.keyframes) >= 3
-    gt = dataset.gt_trajectory()[: len(est)]
-    err = ev.ate_rmse(est, gt, align=False)
-    assert err < 1.0, err  # smoke bound (tiny iteration budget)
-    # the settled-bias EMA actually updated ((2,) [ground, non-ground])
-    assert np.isfinite(slam.sdf_bias).all()
 
 
 @pytest.mark.slow  # ~3 min on 1-core CPU: two full pipeline runs
