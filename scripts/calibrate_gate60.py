@@ -1,0 +1,104 @@
+"""Calibrate the default-suite 60-frame 2-seed gate (VERDICT r4 item 6).
+
+Runs the candidate gate budget over clean seeds and over seeds with an
+injected 30%-class regression, prints per-run metrics + wall time, and the
+threshold table to paste into tests/test_replica_gates.py. The injected
+regression is the round-2 vertical-sink class (quality stack off:
+support_dist=0 / band_samples=0 / bias_correction=false) plus a milder
+tracker-budget cut for the 30%-class probe.
+
+Usage (1-core CPU host, ~7 min per run):
+    JAX_PLATFORMS=cpu python scripts/calibrate_gate60.py [--seeds 0 1] \
+        [--variants clean stackoff] [--json-out /tmp/gate60.json]
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)
+
+from nerfloam_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
+
+def _load_eval_runner():
+    spec = importlib.util.spec_from_file_location(
+        "eval_replica", os.path.join(_ROOT, "scripts", "eval_replica.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# Candidate gate budget: longer horizon than the 40-frame micro (drift-rate
+# regressions integrate with horizon) at a leaner per-frame budget so two
+# seeds fit the default-suite wall-clock.
+GATE60 = [
+    "data_specs.n_frames=60",
+    "data_specs.n_beams=24",
+    "data_specs.n_azimuth=192",
+    "tracker_specs.N_rays=384",
+    "tracker_specs.num_iterations=12",
+    "mapper_specs.N_rays_each=384",
+    "mapper_specs.num_iterations=12",
+    "tpu_specs.track_samples=48",
+    "tpu_specs.map_samples=32",
+    "tpu_specs.points_pad=8192",
+    "tpu_specs.kf_points_pad=8192",
+    "tpu_specs.map_capacity=524288",
+    "tpu_specs.active_cap=131072",
+    "tpu_specs.touched_cap=131072",
+    "tpu_specs.bootstrap_steps=6",
+    "tpu_specs.sampler=grid",
+]
+
+VARIANTS = {
+    "clean": [],
+    # the round-2 vertical-sink regression class (2x-class on the micro
+    # gate: aligned 0.052 -> 0.123)
+    "stackoff": [
+        "tpu_specs.support_dist=0",
+        "tpu_specs.band_samples=0",
+        "tpu_specs.bias_correction=false",
+    ],
+    # 30%-class probe: halve tracker iterations (budget starvation)
+    "trackcut": ["tracker_specs.num_iterations=6"],
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    p.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    p.add_argument("--json-out", default=None)
+    args = p.parse_args()
+
+    mod = _load_eval_runner()
+    cfg_path = os.path.join(_ROOT, "configs", "synthetic",
+                            "kitti_replica_ci.yaml")
+    out = {}
+    for variant in args.variants:
+        for seed in args.seeds:
+            t0 = time.perf_counter()
+            r = mod.run_eval(
+                cfg_path,
+                GATE60 + VARIANTS[variant] + [f"data_specs.seed={seed}"],
+                mesh_samples_n=60000,
+            )
+            r["calib_wall_s"] = round(time.perf_counter() - t0, 1)
+            key = f"{variant}_s{seed}"
+            out[key] = r
+            print(key, json.dumps(r), flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

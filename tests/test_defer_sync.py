@@ -22,11 +22,11 @@ from nerfloam_tpu.utils import evaluation as ev
 CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic",
                         "synthetic_small.yaml")
 
-MICRO = [
+from _canon import CANON
+
+MICRO = CANON + [
     "data_specs.n_frames=10",
     "tpu_specs.bootstrap_steps=4",
-    "tracker_specs.num_iterations=8",
-    "mapper_specs.num_iterations=8",
 ]
 
 

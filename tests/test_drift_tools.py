@@ -106,11 +106,11 @@ def test_lazy_recenter_matches_every_frame_rebuild():
 
     poses = {}
     for margin in (0.0, 3.0):
-        cfg = load_config(CFG_PATH, [
+        from _canon import CANON
+
+        cfg = load_config(CFG_PATH, CANON + [
             "data_specs.n_frames=8",
             "tpu_specs.bootstrap_steps=4",
-            "tracker_specs.num_iterations=8",
-            "mapper_specs.num_iterations=8",
             f"tpu_specs.recenter_margin={margin}",
         ])
         dataset = get_dataset(cfg)

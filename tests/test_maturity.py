@@ -90,11 +90,11 @@ def test_pipeline_maturity_off_is_parity():
         os.path.dirname(__file__), "..", "configs", "synthetic",
         "synthetic_small.yaml",
     )
-    base = [
+    from _canon import CANON
+
+    base = CANON + [
         "data_specs.n_frames=6",
         "tpu_specs.bootstrap_steps=4",
-        "tracker_specs.num_iterations=6",
-        "mapper_specs.num_iterations=6",
         "tpu_specs.track_method=gn",
     ]
     runs = []

@@ -13,17 +13,17 @@ from nerfloam_tpu.data import get_dataset
 from nerfloam_tpu.utils.config import load_config
 from nerfloam_tpu.utils import evaluation as ev
 
+from _canon import CANON
+
 CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic",
                         "synthetic_small.yaml")
 
 
 @pytest.fixture(scope="module")
 def slam_run():
-    cfg = load_config(CFG_PATH, [
+    cfg = load_config(CFG_PATH, CANON + [
         "data_specs.n_frames=10",
         "tpu_specs.bootstrap_steps=6",
-        "tracker_specs.num_iterations=10",
-        "mapper_specs.num_iterations=10",
     ])
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)
@@ -117,11 +117,9 @@ def test_resume_bit_stable(tmp_path):
     from nerfloam_tpu.core.frame import Frame, pose6_from_matrix_np
     from nerfloam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    cfg = load_config(CFG_PATH, [
+    cfg = load_config(CFG_PATH, CANON + [
         "data_specs.n_frames=8",
         "tpu_specs.bootstrap_steps=3",
-        "tracker_specs.num_iterations=6",
-        "mapper_specs.num_iterations=6",
     ])
     dataset = get_dataset(cfg)
 
@@ -162,12 +160,12 @@ def test_active_cap_growth_no_render_loss():
     from nerfloam_tpu.core.frame import pose6_from_matrix_np
     from nerfloam_tpu.map import voxel_map as vm
 
-    cfg = load_config(CFG_PATH, [
+    cfg = load_config(CFG_PATH, CANON + [
         "data_specs.n_frames=6",
         "tpu_specs.bootstrap_steps=2",
-        "tracker_specs.num_iterations=4",
-        "mapper_specs.num_iterations=4",
         "tpu_specs.active_cap=256",  # far below the scene's surface count
+        # (non-canonical by design: growth re-jits are this test's point,
+        # so it pays for its own compiles)
     ])
     dataset = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, dataset)
@@ -196,11 +194,9 @@ def test_touched_overflow_lossless_and_persists(tmp_path):
     from nerfloam_tpu.core.frame import pose6_from_matrix_np
     from nerfloam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    base = [
+    base = CANON + [
         "data_specs.n_frames=6",
         "tpu_specs.bootstrap_steps=2",
-        "tracker_specs.num_iterations=4",
-        "mapper_specs.num_iterations=4",
     ]
 
     def run(touched_cap):
@@ -221,7 +217,10 @@ def test_touched_overflow_lossless_and_persists(tmp_path):
     # (bootstrap "random" via do_mapping, per-frame "current" via the
     # megastep) overflows and must grow+replay
     cfg, dataset, slam = run(64)
-    _, _, ref = run(8192)  # never overflows (sanity-checked below)
+    # reference run at the config-default (canonical) budget: never
+    # overflows (sanity-checked below), and shares every compile with the
+    # other canonical-shape tests in the suite
+    _, _, ref = run(16384)
 
     assert slam.overflow_events["touched"] >= 1
     assert slam.dropped_delta_events == 0

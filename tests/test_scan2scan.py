@@ -148,11 +148,13 @@ def test_pipeline_s2s_smoke():
     import os
 
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    from _canon import CANON
+
     cfg = load_config(
         os.path.join(root, "configs", "synthetic", "synthetic_small.yaml"),
-        ["data_specs.n_frames=8", "debug_args.final_iter=0",
-         "tpu_specs.s2s_weight=10.0", "tpu_specs.s2s_elev=32",
-         "tpu_specs.s2s_az=256"],
+        CANON + ["data_specs.n_frames=8", "debug_args.final_iter=0",
+                 "tpu_specs.s2s_weight=10.0", "tpu_specs.s2s_elev=32",
+                 "tpu_specs.s2s_az=256"],
     )
     ds = get_dataset(cfg)
     slam = NerfLoamSLAM(cfg, ds)

@@ -6,19 +6,14 @@ from nerfloam_tpu.data import get_dataset
 from nerfloam_tpu.parallel.subscene import SubsceneRunner
 from nerfloam_tpu.utils.config import load_config
 
-OVERRIDES = [
+from _canon import CANON
+
+# canonical static shapes (tests/_canon.py): each submap's pipeline shares
+# its compiles with every other canonical-shape integration test
+OVERRIDES = CANON + [
     "data_specs.n_frames=12",
     "data_specs.use_gt=False",
-    "tracker_specs.num_iterations=6",
-    "mapper_specs.num_iterations=6",
     "tpu_specs.bootstrap_steps=2",
-    "tpu_specs.points_pad=8192",
-    "tpu_specs.kf_points_pad=8192",
-    "tpu_specs.map_capacity=65536",
-    "tpu_specs.active_cap=16384",
-    "tpu_specs.touched_cap=8192",
-    "tpu_specs.track_samples=24",
-    "tpu_specs.map_samples=16",
 ]
 
 
@@ -54,7 +49,7 @@ def test_multi_sequence_device_parallel():
 
     jobs = []
     for seed in (3, 4):
-        cfg = load_config(CFG_PATH, [
+        cfg = load_config(CFG_PATH, CANON + [
             "data_specs.n_frames=5",
             f"data_specs.seed={seed}",
             # 8 iters / 3 bootstrap: the smallest budget where tracking is
@@ -62,8 +57,6 @@ def test_multi_sequence_device_parallel():
             # perturbations) — at 5/2 the run is chaotic (0.7 -> 3.8 m from
             # reassociation-level changes) and the assert below is a coin flip
             "tpu_specs.bootstrap_steps=3",
-            "tracker_specs.num_iterations=8",
-            "mapper_specs.num_iterations=8",
         ])
         jobs.append((cfg, get_dataset(cfg)))
 
