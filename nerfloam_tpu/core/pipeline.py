@@ -98,6 +98,14 @@ class SlamState:
     #   to be occasional tracker divergence; this records the frame it
     #   happens at). Fetched in the existing per-frame sync: zero extra
     #   round trips.
+    ba_delta_telemetry: list = field(default_factory=list)  # per tracked
+    #   frame: (index, along_m, lat_m, dz_m) — the CURRENT-frame BA step's
+    #   pose refinement (BA pose minus tracker pose) in the motion frame.
+    #   The estimated trajectory records the BA-refined pose, so any
+    #   systematic component here integrates directly into drift — and the
+    #   open-loop tracker probes (probe_drift_force) cannot see it (they
+    #   run only the tracker). Computed from already-fetched poses: zero
+    #   extra round trips.
 
 
 class NerfLoamSLAM:
@@ -793,6 +801,26 @@ class NerfLoamSLAM:
             if pose_free[i]:
                 f.pose6 = new_poses[i]
 
+    def _record_ba_delta(self, frame: Frame, mapper_frame: Frame,
+                         prev_pose6: np.ndarray):
+        """Telemetry: the current-frame BA step's pose refinement (mapper
+        pose minus tracker pose), decomposed in the motion frame
+        (along-track from the previous frame's translation, lateral =
+        up x fwd, dz = world z). See SlamState.ba_delta_telemetry."""
+        d = mapper_frame.pose6[:3].astype(np.float64) - frame.pose6[:3]
+        m = frame.pose6[:3].astype(np.float64) - prev_pose6[:3]
+        n = np.linalg.norm(m)
+        if n < 1e-9:
+            fwd = np.zeros(3)
+            lat = np.zeros(3)
+        else:
+            fwd = m / n
+            lat = np.cross([0.0, 0.0, 1.0], fwd)
+            lat /= np.linalg.norm(lat) + 1e-12
+        self.state.ba_delta_telemetry.append(
+            (frame.index, float(d @ fwd), float(d @ lat), float(d[2]))
+        )
+
     def _select_previous_window(self) -> list[Frame]:
         """The last window_size keyframes (mapping.py:218-219 'previous').
         Like 'random', this is a keyframe-replay window here: the tracked
@@ -1090,6 +1118,7 @@ class NerfLoamSLAM:
                    if track_res is not None else [])
             )
             if track_res is not None:
+                prev6_np = st.last_frame.pose6.copy()
                 self.track_finalize(frame, got[6], int(got[7]))
                 mapper_frame.pose6 = np.asarray(got[6], np.float32)
                 st.frame_telemetry.append((
@@ -1111,6 +1140,8 @@ class NerfLoamSLAM:
                 st.tracking_trajectory.append(frame.pose_matrix())
             for targets, pose_free in ba_meta:
                 self._apply_ba_poses(targets, pose_free, np.asarray(got[0]))
+            if track_res is not None and ba_meta and ba_meta[0][1][0]:
+                self._record_ba_delta(frame, mapper_frame, prev6_np)
             res2 = self._retry_ba_touched(int(got[3]))
             if res2 is not None:
                 # the rewind erased this frame's voxel insert — re-run it on
@@ -1330,6 +1361,8 @@ class NerfLoamSLAM:
         mapper_frame.pose6 = frame.pose6
         if rec["pose_free"][0]:
             mapper_frame.pose6 = np.asarray(got[2][0], np.float32)
+            self._record_ba_delta(frame, mapper_frame,
+                                  rec["prev_frame"].pose6)
         self._update_sdf_bias(got[6])
         # release the pre-dispatch generation so its buffers free
         rec["pre_map_state"] = rec["pre_decoder_params"] = None

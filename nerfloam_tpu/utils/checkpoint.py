@@ -74,6 +74,10 @@ def save_checkpoint(path: str, slam) -> None:
         if st.tracking_trajectory else np.zeros((0, 4, 4)),
         frame_telemetry=np.asarray(st.frame_telemetry, np.float64).reshape(-1, 4)
         if st.frame_telemetry else np.zeros((0, 4)),
+        ba_delta_telemetry=np.asarray(
+            st.ba_delta_telemetry, np.float64
+        ).reshape(-1, 4)
+        if st.ba_delta_telemetry else np.zeros((0, 4)),
         last_pose6=st.last_frame.pose6 if st.last_frame else np.zeros(6),
         rel_pose=st.rel_pose if st.rel_pose is not None else np.eye(4),
         # defer_sync device pose recurrence (raw f32 tracked poses of the
@@ -181,6 +185,8 @@ def load_checkpoint(path: str, slam) -> None:
         st.tracking_trajectory = list(data["tracking_traj"])
     if "frame_telemetry" in data:
         st.frame_telemetry = [tuple(r) for r in data["frame_telemetry"]]
+    if "ba_delta_telemetry" in data:
+        st.ba_delta_telemetry = [tuple(r) for r in data["ba_delta_telemetry"]]
     st.first_frame_id = manifest["first_frame_id"]
     st.frames_processed = manifest["frames_processed"]
     if manifest["last_frame_index"] >= 0:

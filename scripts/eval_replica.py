@@ -76,7 +76,10 @@ def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
         # telemetry: (frame_index, hit_ratio, track_loss, surface_bias) per
         # tracked frame — divergence forensics for seed-fragility analysis
         tele = np.asarray(slam.state.frame_telemetry, np.float64).reshape(-1, 4)
-        np.savez(dump_traj, est=est, gt=gt, telemetry=tele)
+        ba_d = np.asarray(
+            slam.state.ba_delta_telemetry, np.float64
+        ).reshape(-1, 4)
+        np.savez(dump_traj, est=est, gt=gt, telemetry=tele, ba_delta=ba_d)
     out = {
         "n_frames": len(est),
         "wall_s": round(wall, 1),
@@ -111,6 +114,18 @@ def run_eval(cfg_path: str, overrides=None, mesh_samples_n: int = 200000,
             float(np.degrees(yaw_e - yaw_g).mean()), 5
         ),
     })
+    # current-frame BA pose-refinement rates (pipeline.ba_delta_telemetry):
+    # the estimated trajectory records the BA-refined pose, so a systematic
+    # mean here is drift injected per frame by the BA step — the component
+    # the open-loop tracker probes cannot see
+    ba_d = np.asarray(slam.state.ba_delta_telemetry, np.float64).reshape(-1, 4)
+    if len(ba_d):
+        out.update({
+            "ba_along_cm_f": round(float(ba_d[:, 1].mean()) * 100, 4),
+            "ba_lat_cm_f": round(float(ba_d[:, 2].mean()) * 100, 4),
+            "ba_z_cm_f": round(float(ba_d[:, 3].mean()) * 100, 4),
+            "ba_along_cm_std": round(float(ba_d[:, 1].std()) * 100, 4),
+        })
 
     # SHINE-protocol mesh eval: faces culled against the observed keyframe
     # cloud (clean_mesh), mesh brought into the GT frame by the trajectory

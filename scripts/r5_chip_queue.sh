@@ -21,6 +21,15 @@ run() { # run <stage> <timeout_s> <cmd...>
 
 run bench_parity  2400 python -u bench.py
 run bench_adam25  2400 python -u bench.py --adam25
+run bench_quality 2400 python -u bench.py --quality
+
+# feedback-gain probe: open-loop frontier pull is ~0 at HEAD yet closed-loop
+# runs drift along-track — measure the surviving fraction of an injected
+# 5 cm init error per axis (along >> lat/z survival = weak along-track
+# observability feeding the const-vel recurrence)
+run gain_probe 7200 python -u scripts/probe_drift_force.py \
+  --mode gain --frames 60 --probe-every 2 --warmup 8 \
+  --json-out /tmp/r5_chip/gain_probe.json
 
 run base500_s777 3600 python -u scripts/eval_replica.py \
   --config configs/synthetic/kitti_replica.yaml \
