@@ -363,6 +363,7 @@ class NerfLoamSLAM:
         # detect-grow-retry replays the in-flight frame from its saved
         # pre-dispatch state (_mega_finalize).
         self.defer_sync = bool(tpu.get("defer_sync", False))
+        self.ba_pose_project = str(tpu.get("ba_pose_project", "none"))
         self._inflight = None        # in-flight dispatch record (dict)
         self._dev_last_pose6 = None  # raw tracked pose, last dispatched frame
         self._dev_prev_pose6 = None  # ... and the frame before it
@@ -803,10 +804,17 @@ class NerfLoamSLAM:
 
     def _record_ba_delta(self, frame: Frame, mapper_frame: Frame,
                          prev_pose6: np.ndarray):
-        """Telemetry: the current-frame BA step's pose refinement (mapper
-        pose minus tracker pose), decomposed in the motion frame
-        (along-track from the previous frame's translation, lateral =
-        up x fwd, dz = world z). See SlamState.ba_delta_telemetry."""
+        """Telemetry + degeneracy gate for the current-frame BA pose
+        refinement (mapper pose minus tracker pose), decomposed in the
+        motion frame (along-track from the previous frame's translation,
+        lateral = up x fwd, dz = world z). Records the RAW refinement in
+        SlamState.ba_delta_telemetry, then — when
+        tpu_specs.ba_pose_project="along" — removes the along-track
+        component from the applied pose (LOAM solution-remapping lineage:
+        don't let the optimizer move the state along a direction it cannot
+        observe; the r5 gain probe measured along-track error survival at
+        2-8x lat/z, and ba_delta telemetry attributed +0.37 of the +0.62
+        cm/f closed-loop along drift to this refinement)."""
         d = mapper_frame.pose6[:3].astype(np.float64) - frame.pose6[:3]
         m = frame.pose6[:3].astype(np.float64) - prev_pose6[:3]
         n = np.linalg.norm(m)
@@ -820,6 +828,11 @@ class NerfLoamSLAM:
         self.state.ba_delta_telemetry.append(
             (frame.index, float(d @ fwd), float(d @ lat), float(d[2]))
         )
+        if self.ba_pose_project == "along":
+            mapper_frame.pose6 = mapper_frame.pose6.copy()
+            mapper_frame.pose6[:3] -= (float(d @ fwd) * fwd).astype(
+                mapper_frame.pose6.dtype
+            )
 
     def _select_previous_window(self) -> list[Frame]:
         """The last window_size keyframes (mapping.py:218-219 'previous').

@@ -18,12 +18,24 @@ run() { # run <stage> <timeout_s> <cmd...>
   echo "=== $stage: rc=$? end $(date -u +%H:%M:%S) ==="
 }
 
+# Degeneracy-gated BA pose update A/B (ba_delta telemetry attributed +0.37
+# of the +0.62 cm/f closed-loop along drift to the current-frame BA pose
+# refinement; ba_pose_project=along removes exactly that component)
+run project500_s777 3600 python -u scripts/eval_replica.py \
+  --config configs/synthetic/kitti_replica.yaml \
+  --set tpu_specs.seed=777 \
+  --set tpu_specs.ba_pose_project=along \
+  --dump-traj /tmp/r5_chip/traj_project500_s777.npz
+
+run project500_s1234 3600 python -u scripts/eval_replica.py \
+  --config configs/synthetic/kitti_replica.yaml \
+  --set tpu_specs.seed=1234 \
+  --set tpu_specs.ba_pose_project=along \
+  --dump-traj /tmp/r5_chip/traj_project500_s1234.npz
+
 run profile_ba 1800 python -u scripts/profile_ba.py
 
-run scale2000_tracked 14400 python -u scripts/scale_probe.py \
-  --config configs/synthetic/kitti_replica.yaml --budget ci \
-  --frames 2000 --track --report-every 100 \
-  --json-out /tmp/r5_chip/scale2000.json \
-  --dump-traj /tmp/r5_chip/traj_scale2000.npz
+# scale2000 launches separately once the A/B picks its config (base vs
+# ba_pose_project=along)
 
 echo "r5 queue2 done $(date -u)"

@@ -249,3 +249,46 @@ def test_touched_overflow_lossless_and_persists(tmp_path):
     assert slam2.bp_current.touched_cap == grown
     assert slam2.bp_random.touched_cap == slam.bp_random.touched_cap
     assert slam2.insert_cand_cap == slam.insert_cand_cap
+
+
+def test_ba_pose_project_along_removes_along_component():
+    """tpu_specs.ba_pose_project="along": the applied current-frame BA pose
+    refinement has zero along-track component; lat/z pass through; the raw
+    (unprojected) delta is what lands in ba_delta_telemetry."""
+    from types import SimpleNamespace
+
+    cfg = load_config(CFG_PATH, CANON + ["data_specs.n_frames=2"])
+    dataset = get_dataset(cfg)
+    slam = NerfLoamSLAM(cfg, dataset)
+    slam.ba_pose_project = "along"
+
+    prev6 = np.zeros(6, np.float32)
+    tracker6 = np.array([1.0, 0.0, 0.0, 0, 0, 0], np.float32)  # fwd = +x
+    ba6 = np.array([1.3, 0.2, -0.1, 0, 0, 0], np.float32)
+    frame = SimpleNamespace(index=5, pose6=tracker6)
+    mapper = SimpleNamespace(index=5, pose6=ba6.copy())
+    slam.state.ba_delta_telemetry = []
+    slam._record_ba_delta(frame, mapper, prev6)
+
+    idx, along, lat, dz = slam.state.ba_delta_telemetry[-1]
+    assert idx == 5
+    # raw delta recorded: +0.3 along (+x), lat = (z x fwd) = +y -> +0.2
+    np.testing.assert_allclose([along, lat, dz], [0.3, 0.2, -0.1], atol=1e-6)
+    # applied pose: along component removed, lat/z kept
+    np.testing.assert_allclose(
+        mapper.pose6[:3], [1.0, 0.2, -0.1], atol=1e-5
+    )
+
+    # "none" (default) leaves the pose untouched
+    slam.ba_pose_project = "none"
+    mapper2 = SimpleNamespace(index=6, pose6=ba6.copy())
+    slam._record_ba_delta(SimpleNamespace(index=6, pose6=tracker6), mapper2,
+                          prev6)
+    np.testing.assert_allclose(mapper2.pose6, ba6)
+
+    # degenerate motion (prev == tracker): fwd undefined -> no projection
+    slam.ba_pose_project = "along"
+    mapper3 = SimpleNamespace(index=7, pose6=ba6.copy())
+    slam._record_ba_delta(SimpleNamespace(index=7, pose6=prev6), mapper3,
+                          prev6)
+    np.testing.assert_allclose(mapper3.pose6, ba6)
