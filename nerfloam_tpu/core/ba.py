@@ -143,6 +143,13 @@ def _ba_core(
     update_decoder: jnp.ndarray,  # () bool
     lrs: jnp.ndarray,           # (3,) [emb, decoder, pose]
     key: jax.Array,
+    proj_dir: jnp.ndarray | None = None,  # (W, 3) unit directions: remove
+    #   this component from each frame's pose-translation update every
+    #   iteration (degeneracy-aware BA, LOAM solution-remapping lineage —
+    #   the field must never co-adapt with a pose shifted along an
+    #   unobservable axis, or the shift is baked into the map and inherited
+    #   by every later tracked frame). Zero rows = no projection. None =
+    #   feature off (no extra compute).
 ) -> BAResult:
     """BA loop body, single-chip (axis_name=None) or inside shard_map.
 
@@ -349,6 +356,16 @@ def _ba_core(
         u_emb, u_dec, u_pos = updates
         emb = emb - lrs[0] * u_emb
         dec = jax.tree.map(lambda p, u: p - lrs[1] * u, dec, u_dec)
+        if proj_dir is not None:
+            # degeneracy gate: remove the unobservable component from the
+            # translation update BEFORE it is applied, so the embeddings
+            # (updated in the same iteration) fit the points at a pose that
+            # never moved along that axis
+            u_t = u_pos[:, :3]
+            u_t = u_t - proj_dir * jnp.sum(
+                u_t * proj_dir, axis=-1, keepdims=True
+            )
+            u_pos = jnp.concatenate([u_t, u_pos[:, 3:]], axis=1)
         pos = pos - lrs[2] * u_pos * pose_mask
         return emb, dec, pos, opt_state, key, touched, loss
 
@@ -472,12 +489,13 @@ def ba_step(
     update_decoder: jnp.ndarray,
     lrs: jnp.ndarray,
     key: jax.Array,
+    proj_dir: jnp.ndarray | None = None,
 ) -> BAResult:
     """Single-chip BA step (see _ba_core for the full contract)."""
     return _ba_core(
         None, 1, map_state, map_cfg, rc, bp, decoder_params, decoder_meta,
         poses, points, points_cos, points_valid, frame_active, pose_free,
-        update_decoder, lrs, key,
+        update_decoder, lrs, key, proj_dir=proj_dir,
     )
 
 

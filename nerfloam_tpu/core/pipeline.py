@@ -804,17 +804,16 @@ class NerfLoamSLAM:
 
     def _record_ba_delta(self, frame: Frame, mapper_frame: Frame,
                          prev_pose6: np.ndarray):
-        """Telemetry + degeneracy gate for the current-frame BA pose
-        refinement (mapper pose minus tracker pose), decomposed in the
-        motion frame (along-track from the previous frame's translation,
-        lateral = up x fwd, dz = world z). Records the RAW refinement in
-        SlamState.ba_delta_telemetry, then — when
-        tpu_specs.ba_pose_project="along" — removes the along-track
-        component from the applied pose (LOAM solution-remapping lineage:
-        don't let the optimizer move the state along a direction it cannot
-        observe; the r5 gain probe measured along-track error survival at
-        2-8x lat/z, and ba_delta telemetry attributed +0.37 of the +0.62
-        cm/f closed-loop along drift to this refinement)."""
+        """Telemetry: the current-frame BA step's pose refinement (mapper
+        pose minus tracker pose), decomposed in the motion frame
+        (along-track from the previous frame's translation, lateral =
+        up x fwd, dz = world z). See SlamState.ba_delta_telemetry. Under
+        tpu_specs.ba_pose_project="along" the BA optimizer itself projects
+        the along component out of every pose update (ba._ba_core proj_dir
+        — it must happen in-optimizer, per iteration, or the embeddings
+        co-adapt with the shifted pose and the map inherits the drift), so
+        this telemetry's along column doubles as the gate's validation
+        signal: it should read ~0 when the gate is on."""
         d = mapper_frame.pose6[:3].astype(np.float64) - frame.pose6[:3]
         m = frame.pose6[:3].astype(np.float64) - prev_pose6[:3]
         n = np.linalg.norm(m)
@@ -828,11 +827,6 @@ class NerfLoamSLAM:
         self.state.ba_delta_telemetry.append(
             (frame.index, float(d @ fwd), float(d @ lat), float(d[2]))
         )
-        if self.ba_pose_project == "along":
-            mapper_frame.pose6 = mapper_frame.pose6.copy()
-            mapper_frame.pose6[:3] -= (float(d @ fwd) * fwd).astype(
-                mapper_frame.pose6.dtype
-            )
 
     def _select_previous_window(self) -> list[Frame]:
         """The last window_size keyframes (mapping.py:218-219 'previous').
@@ -958,7 +952,8 @@ class NerfLoamSLAM:
         and gradients psum'd over ICI), and the map-maintenance stages run
         replicated. The whole frame stays ONE dispatch + ONE sync.
         Cached per (map_cfg, TrackParams) — capacity growth rebuilds it."""
-        cache_key = (self.map_cfg, tp, self.insert_cand_cap)
+        ba_proj = self.ba_pose_project == "along"
+        cache_key = (self.map_cfg, tp, self.insert_cand_cap, ba_proj)
         hit = self._mega_cache.get(cache_key)
         if hit is not None:
             return hit
@@ -1007,11 +1002,27 @@ class NerfLoamSLAM:
                     )
                 else:
                     st = vm.recenter_refresh(map_state, map_cfg, tr.pose[:3])
+                if ba_proj:
+                    # degeneracy gate (tpu_specs.ba_pose_project="along"):
+                    # the BA pose update may not move along the tracked
+                    # motion direction — the weak-observability axis (r5
+                    # gain probe; ba_delta telemetry attributed +0.37 of
+                    # the +0.62 cm/f closed-loop along drift to this
+                    # refinement). Zero direction (first frame / rest) =
+                    # projection off for that frame.
+                    mvec = tr.pose[:3] - prev_pose6[:3]
+                    n = jnp.linalg.norm(mvec)
+                    fwd = jnp.where(
+                        n > 1e-6, mvec / jnp.maximum(n, 1e-9), jnp.zeros(3)
+                    )
+                    proj = fwd[None]
+                else:
+                    proj = None
                 ba = ba_mod._ba_core(
                     axis_name, dp, st, map_cfg, rc_m, bp, decoder_params,
                     dec_meta, tr.pose[None], pts[None], cos[None],
                     val_m[None], jnp.ones((1,), jnp.bool_), pose_free,
-                    update_decoder, ba_lrs, k_ba,
+                    update_decoder, ba_lrs, k_ba, proj_dir=proj,
                 )
                 st = st._replace(embeddings=ba.embeddings, packed=ba.packed,
                                  upd_count=ba.upd_count)

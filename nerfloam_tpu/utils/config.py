@@ -179,19 +179,25 @@ DEFAULTS = {
         "band_samples": 0,               # extra stratified samples across
         #                                  the truncation band around each
         #                                  measured depth, 0 = off
-        "ba_pose_project": "none",       # "along": remove the along-track
-        #                                  component of the current-frame BA
-        #                                  pose refinement before applying it
-        #                                  (degeneracy-aware update, LOAM
-        #                                  solution-remapping lineage). The r5
-        #                                  gain probe measured along-track as
-        #                                  the weak-observability axis and
-        #                                  ba_delta telemetry attributed
-        #                                  +0.37 of the +0.62 cm/f closed-loop
-        #                                  along drift to this refinement,
-        #                                  while its z component CORRECTS
-        #                                  tracker z drift — so project out
-        #                                  along only. "none" = off
+        "ba_pose_project": "none",       # "along": the current-frame BA
+        #                                  optimizer projects the along-track
+        #                                  (tracked motion direction)
+        #                                  component out of every pose update
+        #                                  (degeneracy-aware BA, LOAM
+        #                                  solution-remapping lineage). Done
+        #                                  IN-optimizer, per iteration: the
+        #                                  embeddings co-adapt with the pose,
+        #                                  so a post-hoc host correction
+        #                                  would leave the shift baked into
+        #                                  the map. The r5 gain probe
+        #                                  measured along-track as the
+        #                                  weak-observability axis; ba_delta
+        #                                  telemetry attributed +0.37 of the
+        #                                  +0.62 cm/f closed-loop along drift
+        #                                  to this refinement, while its z
+        #                                  component CORRECTS tracker z drift
+        #                                  — project out along only.
+        #                                  "none" = off
         "maturity_warmup": 0,            # > 0: GN tracker down-weights
         #                                  residual samples in voxels whose
         #                                  BA-touch count < this (frontier

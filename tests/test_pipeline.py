@@ -251,44 +251,74 @@ def test_touched_overflow_lossless_and_persists(tmp_path):
     assert slam2.insert_cand_cap == slam.insert_cand_cap
 
 
-def test_ba_pose_project_along_removes_along_component():
-    """tpu_specs.ba_pose_project="along": the applied current-frame BA pose
-    refinement has zero along-track component; lat/z pass through; the raw
-    (unprojected) delta is what lands in ba_delta_telemetry."""
-    from types import SimpleNamespace
+def test_ba_pose_project_along_pins_projected_axis():
+    """ba._ba_core proj_dir (tpu_specs.ba_pose_project="along"): the BA
+    optimizer removes the projected component from every pose-translation
+    update, so the pose coordinate along that axis never moves — while
+    without projection BA does move it. The projection must happen
+    in-optimizer (not post-hoc): the embeddings co-adapt with the pose."""
+    import jax
+    import jax.numpy as jnp
 
-    cfg = load_config(CFG_PATH, CANON + ["data_specs.n_frames=2"])
-    dataset = get_dataset(cfg)
-    slam = NerfLoamSLAM(cfg, dataset)
-    slam.ba_pose_project = "along"
+    from nerfloam_tpu.core.ba import BAParams, ba_step
+    from nerfloam_tpu.map import voxel_map as vm
+    from nerfloam_tpu.models.decoder import init_decoder
+    from nerfloam_tpu.ops.raycast import RaycastConfig
 
-    prev6 = np.zeros(6, np.float32)
-    tracker6 = np.array([1.0, 0.0, 0.0, 0, 0, 0], np.float32)  # fwd = +x
-    ba6 = np.array([1.3, 0.2, -0.1, 0, 0, 0], np.float32)
-    frame = SimpleNamespace(index=5, pose6=tracker6)
-    mapper = SimpleNamespace(index=5, pose6=ba6.copy())
-    slam.state.ba_delta_telemetry = []
-    slam._record_ba_delta(frame, mapper, prev6)
+    VS = 0.5
+    rng = np.random.default_rng(1)
+    # far wall at x=6 plus a near half-wall at x=3 (upper z only): rays to
+    # the far wall's upper half traverse near-wall voxels well before their
+    # measured depth, producing FREE-SPACE samples — without them the
+    # count-balancing loss weights (losses.sdf_losses, reference parity)
+    # zero the whole loss (num_sdf == total -> sdf_count_w == 0) and BA
+    # trains nothing
+    yy, zz = np.meshgrid(np.linspace(-3, 3, 40), np.linspace(-2, 2, 28),
+                         indexing="ij")
+    far = np.stack([np.full(yy.size, 6.0), yy.ravel(), zz.ravel()], -1)
+    yy2, zz2 = np.meshgrid(np.linspace(-3, 3, 40), np.linspace(0.25, 2, 12),
+                           indexing="ij")
+    near = np.stack([np.full(yy2.size, 3.0), yy2.ravel(), zz2.ravel()], -1)
+    pts = np.concatenate([far, near])
+    pts += rng.normal(0, 0.01, pts.shape)
+    pad = 2048
+    buf = np.zeros((pad, 3), np.float32)
+    val = np.zeros((pad,), bool)
+    buf[: len(pts)] = pts[:pad]
+    val[: min(len(pts), pad)] = True
+    cos = np.ones((pad,), np.float32)
 
-    idx, along, lat, dz = slam.state.ba_delta_telemetry[-1]
-    assert idx == 5
-    # raw delta recorded: +0.3 along (+x), lat = (z x fwd) = +y -> +0.2
-    np.testing.assert_allclose([along, lat, dz], [0.3, 0.2, -0.1], atol=1e-6)
-    # applied pose: along component removed, lat/z kept
-    np.testing.assert_allclose(
-        mapper.pose6[:3], [1.0, 0.2, -0.1], atol=1e-5
+    cfg = vm.MapConfig(capacity=1 << 14, grid_dim=(64, 64, 32), voxel_size=VS)
+    m = vm.create(cfg)
+    m = vm.recenter(m, cfg, jnp.zeros(3, jnp.float32))
+    m = vm.insert_points(m, cfg, jnp.asarray(buf), jnp.asarray(val))
+    m = vm.refresh_active(m, cfg)
+    params, meta = init_decoder(jax.random.key(0), in_dim=cfg.feat_dim)
+    rc = RaycastConfig(step_world=0.125, n_slots=97, n_samples=16,
+                       voxel_size=VS, max_depth=12.0)
+    bp = BAParams(n_frames=1, n_rays=256, num_iterations=20, truncation=0.6,
+                  max_depth=12.0, fs_weight=1.0, sdf_weight=1.0,
+                  measure_bias=False)
+    args = (
+        m, cfg, rc, bp, params, meta,
+        jnp.zeros((1, 6)), jnp.asarray(buf)[None], jnp.asarray(cos)[None],
+        jnp.asarray(val)[None], jnp.ones((1,), bool), jnp.ones((1,), bool),
+        jnp.asarray(True), jnp.asarray([0.01, 0.001, 0.01], jnp.float32),
+        jax.random.key(3),
     )
+    free = ba_step(*args)                                      # no gate
+    gated = ba_step(*args, proj_dir=jnp.array([[1.0, 0.0, 0.0]]))
+    zeros = ba_step(*args, proj_dir=jnp.zeros((1, 3)))         # zero rows
 
-    # "none" (default) leaves the pose untouched
-    slam.ba_pose_project = "none"
-    mapper2 = SimpleNamespace(index=6, pose6=ba6.copy())
-    slam._record_ba_delta(SimpleNamespace(index=6, pose6=tracker6), mapper2,
-                          prev6)
-    np.testing.assert_allclose(mapper2.pose6, ba6)
-
-    # degenerate motion (prev == tracker): fwd undefined -> no projection
-    slam.ba_pose_project = "along"
-    mapper3 = SimpleNamespace(index=7, pose6=ba6.copy())
-    slam._record_ba_delta(SimpleNamespace(index=7, pose6=prev6), mapper3,
-                          prev6)
-    np.testing.assert_allclose(mapper3.pose6, ba6)
+    assert float(free.loss) > 0.0          # the harness actually trains
+    assert int(free.touched_count) > 0
+    # ungated BA moves the pose (single-frame fit slides freely)
+    assert float(jnp.abs(free.poses[0]).max()) > 1e-6
+    assert abs(float(free.poses[0, 0])) > 1e-7
+    # gated: the x coordinate NEVER moves; other DoFs still optimize
+    assert float(gated.poses[0, 0]) == 0.0
+    assert float(jnp.abs(gated.poses[0, 1:]).max()) > 1e-7
+    # zero-direction rows disable the gate exactly (bitwise vs ungated)
+    np.testing.assert_array_equal(
+        np.asarray(zeros.poses), np.asarray(free.poses)
+    )
