@@ -112,9 +112,10 @@ def main():
 
     est = np.asarray(poses)
     gt = dataset.gt_trajectory()[: len(est)]
+    ba_d = np.asarray(slam.state.ba_delta_telemetry, np.float64).reshape(-1, 4)
     if args.dump_traj:
         tele = np.asarray(slam.state.frame_telemetry, np.float64).reshape(-1, 4)
-        np.savez(args.dump_traj, est=est, gt=gt, telemetry=tele)
+        np.savez(args.dump_traj, est=est, gt=gt, telemetry=tele, ba_delta=ba_d)
     out = {
         "n_frames": len(est),
         "wall_s": round(wall, 1),
@@ -124,7 +125,16 @@ def main():
         "final_capacity": slam.map_cfg.capacity,
         "final_num_lat": int(slam.state.map_state.num_lat),
         "keyframes": len(slam.state.keyframes),
+        "growth_events": int(sum(slam.overflow_events.values())),
+        "overflow_events": {k: int(v) for k, v in slam.overflow_events.items()},
+        "dropped_delta_events": int(slam.dropped_delta_events),
     }
+    if len(ba_d):
+        out.update({
+            "ba_along_cm_f": round(float(ba_d[:, 1].mean()) * 100, 4),
+            "ba_lat_cm_f": round(float(ba_d[:, 2].mean()) * 100, 4),
+            "ba_z_cm_f": round(float(ba_d[:, 3].mean()) * 100, 4),
+        })
     t_mesh = time.perf_counter()
     verts, faces = slam.extract_mesh(clean=True)
     out["mesh_verts"] = int(len(verts))
