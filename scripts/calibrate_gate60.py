@@ -67,8 +67,13 @@ VARIANTS = {
         "tpu_specs.band_samples=0",
         "tpu_specs.bias_correction=false",
     ],
-    # 30%-class probe: halve tracker iterations (budget starvation)
-    "trackcut": ["tracker_specs.num_iterations=6"],
+    # budget-starvation probes: cut GN tracker iterations (default 16).
+    # NOTE: the GN tracker's loop count is tpu_specs.track_gn_iterations
+    # (pipeline.py:217-221), NOT tracker_specs.num_iterations (Adam only) —
+    # the first calibration run injected the wrong key and reproduced the
+    # clean rows bitwise (an accidental determinism check).
+    "trackcut8": ["tpu_specs.track_gn_iterations=8"],    # 2x cut
+    "trackcut11": ["tpu_specs.track_gn_iterations=11"],  # ~30% cut
 }
 
 
