@@ -77,23 +77,38 @@ VARIANTS = {
 }
 
 
+
+# Lean cap right-sizing: GATE60's pinned 131072 caps make every frame pay
+# an O(cap) reconcile/pack fixed cost that a 60-frame scene never needs
+# (the r5 bench insight, EVAL_r05 phase 2). Overflow is lossless, so thin
+# caps are safe — a growth event just re-jits once.
+LEAN = [
+    "tpu_specs.map_capacity=262144",
+    "tpu_specs.active_cap=32768",
+    "tpu_specs.touched_cap=0",   # auto: min(active_cap, 4096), grow lossless
+]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
     p.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    p.add_argument("--lean", action="store_true",
+                   help="append LEAN cap right-sizing to the gate budget")
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
     mod = _load_eval_runner()
     cfg_path = os.path.join(_ROOT, "configs", "synthetic",
                             "kitti_replica_ci.yaml")
+    budget = GATE60 + (LEAN if args.lean else [])
     out = {}
     for variant in args.variants:
         for seed in args.seeds:
             t0 = time.perf_counter()
             r = mod.run_eval(
                 cfg_path,
-                GATE60 + VARIANTS[variant] + [f"data_specs.seed={seed}"],
+                budget + VARIANTS[variant] + [f"data_specs.seed={seed}"],
                 mesh_samples_n=60000,
             )
             r["calib_wall_s"] = round(time.perf_counter() - t0, 1)
