@@ -74,6 +74,11 @@ VARIANTS = {
     # clean rows bitwise (an accidental determinism check).
     "trackcut8": ["tpu_specs.track_gn_iterations=8"],    # 2x cut
     "trackcut11": ["tpu_specs.track_gn_iterations=11"],  # ~30% cut
+    #   (measured GATE60, seeds 0/1: quality-NEUTRAL — the GN budget has
+    #   ~30% headroom at this horizon; raw 0.199/0.122 vs clean 0.162/0.111)
+    # single-knob quality-stack cut: bias transfer off alone (the milder
+    # sibling of stackoff — candidate ~30%-metric-class injection)
+    "biasoff": ["tpu_specs.bias_correction=false"],
 }
 
 
@@ -84,7 +89,7 @@ VARIANTS = {
 # caps are safe — a growth event just re-jits once.
 LEAN = [
     "tpu_specs.map_capacity=262144",
-    "tpu_specs.active_cap=32768",
+    "tpu_specs.active_cap=49152",  # measured 60-frame peak 33332 x 1.5
     "tpu_specs.touched_cap=0",   # auto: min(active_cap, 4096), grow lossless
 ]
 
