@@ -13,6 +13,7 @@ correctly.
 import os
 
 import numpy as np
+import pytest
 
 from nerfloam_tpu.core.pipeline import NerfLoamSLAM
 from nerfloam_tpu.data import get_dataset
@@ -38,10 +39,17 @@ def _run(overrides):
     return slam, np.asarray(poses), dataset
 
 
+@pytest.mark.slow
 def test_defer_sync_near_exact_when_quiesced():
     """With keyframe events and bias transfer quiesced, defer on/off differ
     only by the device- vs host-computed constant-velocity init (f32 vs f64
-    round-off) — trajectories must agree to millimetres."""
+    round-off) — trajectories must agree to millimetres.
+
+    Slow-marked (suite re-fit, VERDICT r4 item 6): bias_correction=false is
+    a STATIC graph change (BAParams.measure_bias), so this test compiles two
+    fresh megasteps — 951 s of the integration tier's 35-minute cold wall.
+    The shipped-defaults equivalence + overflow replay below stay in the
+    default suite on canonical (cache-shared) graphs."""
     quiet = ["mapper_specs.keyframe_gap=100", "tpu_specs.bias_correction=false"]
     _, p_sync, ds = _run(quiet + ["tpu_specs.defer_sync=false"])
     _, p_defer, _ = _run(quiet + ["tpu_specs.defer_sync=true"])
