@@ -56,6 +56,11 @@ GATE60 = [
     "tpu_specs.touched_cap=131072",
     "tpu_specs.bootstrap_steps=6",
     "tpu_specs.sampler=grid",
+    # calibration-frozen: the gate measures THIS config regardless of what
+    # dataset-config defaults later ship (the degeneracy gate was A/B'd
+    # separately, EVAL_r05 phase 3); a default flip must not silently move
+    # the gate's calibrated band
+    "tpu_specs.ba_pose_project=none",
 ]
 
 VARIANTS = {
@@ -120,9 +125,12 @@ def main():
             key = f"{variant}_s{seed}"
             out[key] = r
             print(key, json.dumps(r), flush=True)
-    if args.json_out:
-        with open(args.json_out, "w") as fh:
-            json.dump(out, fh, indent=1)
+            # write-through after every run: a container restart mid-
+            # calibration keeps the completed rows (r5 lost a full
+            # calibration to exactly this)
+            if args.json_out:
+                with open(args.json_out, "w") as fh:
+                    json.dump(out, fh, indent=1)
 
 
 if __name__ == "__main__":
